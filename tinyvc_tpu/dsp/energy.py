@@ -1,0 +1,36 @@
+"""Waveform energy estimation.
+
+Spec: `module/utils/energy_estimation.py:9-14` — ``max_pool1d(|x|,
+kernel=2*frame, stride=frame, padding=frame//2)`` followed by linear
+interpolation back to the waveform length. Implemented with
+``lax.reduce_window`` (maps directly onto the VPU) instead of a pooling op
+translation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .interp import linear_interp_last
+
+
+def estimate_energy(wave: jnp.ndarray, frame_size: int = 64) -> jnp.ndarray:
+    """wave: ``[B, L]`` -> energy ``[B, L]`` (waveform-rate, max-pooled).
+
+    The reference returns ``[B, 1, L]``; we keep ``[B, L]`` in channels-last
+    convention and add the channel axis where it is consumed.
+    """
+    L = wave.shape[-1]
+    x = jnp.abs(wave)
+    pad = frame_size // 2
+    neg_inf = jnp.asarray(-jnp.inf, dtype=x.dtype)
+    pooled = jax.lax.reduce_window(
+        x,
+        neg_inf,
+        jax.lax.max,
+        window_dimensions=(1, frame_size * 2),
+        window_strides=(1, frame_size),
+        padding=((0, 0), (pad, pad)),
+    )
+    return linear_interp_last(pooled, L)

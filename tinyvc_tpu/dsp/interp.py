@@ -1,0 +1,61 @@
+"""Linear resampling along the time axis.
+
+Matches the semantics of ``torch.nn.functional.interpolate(mode='linear',
+align_corners=False)``, which the reference uses in 10+ places (e.g.
+`module/tinyvc/decoder.py:45-48`, `module/utils/energy_estimation.py:13`,
+`module/utils/f0_estimation.py:74`). Source coordinate for output index ``i``
+is ``(i + 0.5) * (Li / Lo) - 0.5`` clamped below at 0; the right neighbour is
+clamped to ``Li - 1``.
+
+All functions operate on the time axis of ``[..., T]`` or ``[B, T, C]``
+arrays with static shapes, so they fuse into surrounding XLA computations.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _source_coords(in_len: int, out_len: int, dtype=jnp.float32):
+    scale = in_len / out_len
+    i = jnp.arange(out_len, dtype=dtype)
+    src = (i + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, float(in_len - 1))
+    idx0 = jnp.floor(src)
+    frac = src - idx0
+    idx0 = idx0.astype(jnp.int32)
+    idx1 = jnp.minimum(idx0 + 1, in_len - 1)
+    return idx0, idx1, frac
+
+
+def linear_interp_last(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Resample the last axis of ``x`` to ``out_len`` samples."""
+    in_len = x.shape[-1]
+    if in_len == out_len:
+        return x
+    idx0, idx1, frac = _source_coords(in_len, out_len, dtype=jnp.float32)
+    x0 = jnp.take(x, idx0, axis=-1)
+    x1 = jnp.take(x, idx1, axis=-1)
+    frac = frac.astype(x.dtype)
+    return x0 * (1.0 - frac) + x1 * frac
+
+
+def linear_interp_time(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Resample axis -2 (time in ``[B, T, C]`` layout) to ``out_len``."""
+    in_len = x.shape[-2]
+    if in_len == out_len:
+        return x
+    idx0, idx1, frac = _source_coords(in_len, out_len, dtype=jnp.float32)
+    x0 = jnp.take(x, idx0, axis=-2)
+    x1 = jnp.take(x, idx1, axis=-2)
+    frac = frac.astype(x.dtype)[..., :, None]
+    return x0 * (1.0 - frac) + x1 * frac
+
+
+def upsample_frames_to_samples(x: jnp.ndarray, frame_size: int) -> jnp.ndarray:
+    """Frame-rate ``[B, F, C]`` -> waveform-rate ``[B, F*frame_size, C]``.
+
+    Equivalent to ``F.interpolate(scale_factor=frame_size, mode='linear')`` in
+    the reference's channel-first layout (`module/tinyvc/decoder.py:262`).
+    """
+    return linear_interp_time(x, x.shape[-2] * frame_size)
