@@ -1,0 +1,269 @@
+"""Source-filter DDSP vocoder: SourceNet + oscillators + FilterNet U-Net.
+
+Behavioural spec: `module/tinyvc/decoder.py:24-266`. TPU-first design notes:
+
+- the harmonic bank integrates phase ONCE (cumsum of f0/sr in fp32) and
+  multiplies by the harmonic index afterwards — ``(k*I) mod 1`` — instead of
+  the reference's per-harmonic cumsum (`decoder.py:50`); mathematically
+  identical, 15x less scan work.
+- noise synthesis stays in the Fourier domain (random phase x predicted
+  kernel -> ISTFT) with an explicit PRNG key replacing ``torch.rand``
+  (`decoder.py:78`).
+- the whole DSP stage runs in fp32 regardless of the compute dtype, like
+  the reference's ``@torch.cuda.amp.autocast(enabled=False)`` (`decoder.py:259`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import AudioConfig, DecoderConfig
+from ..dsp.interp import linear_interp_last, upsample_frames_to_samples
+from ..dsp.stft import istft
+from .layers import Conv1d, ConvNeXtLayer, FiLM
+
+
+def oscillate_harmonics(
+    f0: jnp.ndarray,
+    frame_size: int = 480,
+    sample_rate: int = 24000,
+    num_harmonics: int = 14,
+    min_frequency: float = 20.0,
+) -> jnp.ndarray:
+    """f0 ``[B, F]`` (frame rate) -> harmonics ``[B, F*frame_size, H+1]``.
+
+    Linear-interp f0 to waveform rate, integrate phase (fp32 cumsum), emit
+    ``sin(2*pi*((k * I) mod 1))`` masked by the interpolated voiced mask
+    (reference `decoder.py:24-54`).
+    """
+    C = num_harmonics + 1
+    Lw = f0.shape[-1] * frame_size
+    f0w = linear_interp_last(f0.astype(jnp.float32), Lw)  # [B, Lw]
+    phase = jnp.cumsum(f0w / sample_rate, axis=-1)  # [B, Lw] fp32
+    k = jnp.arange(1, C + 1, dtype=jnp.float32)
+    theta = 2.0 * math.pi * jnp.mod(phase[..., None] * k, 1.0)  # [B, Lw, C]
+    uv = linear_interp_last((f0 > min_frequency).astype(jnp.float32), Lw)
+    return jnp.sin(theta) * uv[..., None]
+
+
+def oscillate_noise(
+    kernel: jnp.ndarray,
+    key: jax.Array,
+    frame_size: int = 480,
+    n_fft: int = 1920,
+    angle: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Filtered noise branch (reference `decoder.py:63-85`).
+
+    kernel: ``[B, F, fft_bin]`` non-negative magnitude filter. A random-phase
+    unit-magnitude spectrum is multiplied by the kernel (Fourier-domain
+    convolution with gaussian-like noise), one zero frame is prepended
+    (mirroring the dropped analysis frame 0), then ISTFT -> ``[B, F*frame_size]``.
+
+    ``angle`` overrides the random phase (deterministic tests / parity runs).
+    """
+    B, F, bins = kernel.shape
+    kernel = kernel.astype(jnp.float32)
+    if angle is None:
+        angle = jax.random.uniform(
+            key, (B, F, bins), minval=-math.pi, maxval=math.pi, dtype=jnp.float32
+        )
+    noise_stft = jax.lax.complex(jnp.cos(angle), jnp.sin(angle)) * kernel
+    noise_stft = jnp.pad(noise_stft, ((0, 0), (1, 0), (0, 0)))
+    return istft(noise_stft, n_fft, frame_size)
+
+
+def _log_f0_feature(f0: jnp.ndarray) -> jnp.ndarray:
+    """``log(relu(f0) + 1e-6)`` (reference `decoder.py:128`, `decoder.py:227`)."""
+    return jnp.log(jnp.maximum(f0, 0.0) + 1e-6)[..., None]
+
+
+class SourceNet(nn.Module):
+    """Estimates per-harmonic amplitudes and the noise filter kernel
+    (reference `decoder.py:102-134`)."""
+
+    cfg: DecoderConfig = DecoderConfig()
+    audio: AudioConfig = AudioConfig()
+
+    @nn.compact
+    def __call__(
+        self, content: jnp.ndarray, f0: jnp.ndarray, energy: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """content [B,F,768], f0 [B,F], energy [B,L] -> (amps [B,F,H+1],
+        kernel [B,F,fft_bin])."""
+        B, L = energy.shape
+        frame = self.audio.hop_size
+        # non-overlapping max-pool of waveform-rate energy to frame rate
+        # (reference `decoder.py:127`)
+        energy_f = jnp.max(energy.reshape(B, L // frame, frame), axis=-1)
+
+        x = (
+            nn.Dense(self.cfg.source_channels, name="content_in")(content)
+            + nn.Dense(self.cfg.source_channels, name="energy_in")(energy_f[..., None])
+            + nn.Dense(self.cfg.source_channels, name="f0_in")(_log_f0_feature(f0))
+        )
+        for i in range(self.cfg.source_num_layers):
+            x = ConvNeXtLayer(
+                self.cfg.source_channels,
+                self.cfg.source_kernel_size,
+                name=f"layer_{i}",
+            )(x)
+        # elu + 1 keeps both heads positive with nonvanishing gradient
+        # (reference `decoder.py:132-133`)
+        amps = jax.nn.elu(nn.Dense(self.cfg.num_harmonics + 1, name="to_amps")(x)) + 1.0
+        kernel = jax.nn.elu(nn.Dense(self.audio.fft_bin, name="to_kernel")(x)) + 1.0
+        return amps, kernel
+
+
+class Downsample(nn.Module):
+    """Linear-interp down + residual dilated conv stack
+    (reference `decoder.py:137-157`)."""
+
+    out_features: int
+    factor: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        T = x.shape[-2]
+        x = jnp.swapaxes(
+            linear_interp_last(jnp.swapaxes(x, -1, -2), T // self.factor), -1, -2
+        )
+        res = nn.Dense(self.out_features, name="down_res")(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(c_in, 3, dilation=1, name="c1")(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(c_in, 3, dilation=2, name="c2")(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(self.out_features, 3, dilation=4, name="c3")(x)
+        return x + res
+
+
+class Upsample(nn.Module):
+    """Linear-interp up + two FiLM-conditioned residual groups
+    (reference `decoder.py:160-190`)."""
+
+    out_features: int
+    factor: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        T = x.shape[-2]
+        x = jnp.swapaxes(
+            linear_interp_last(jnp.swapaxes(x, -1, -2), T * self.factor), -1, -2
+        )
+        res = x
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(c_in, 3, dilation=1, name="c1")(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(c_in, 3, dilation=3, name="c2")(x)
+        x = FiLM(name="film1")(x, cond)
+        x = x + res
+        res = x
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(c_in, 3, dilation=9, name="c3")(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(c_in, 3, dilation=27, name="c4")(x)
+        x = FiLM(name="film2")(x, cond)
+        x = x + res
+        return nn.Dense(self.out_features, name="c5")(x)
+
+
+class FilterNet(nn.Module):
+    """Waveform-rate U-Net refining the DSP source into the final waveform
+    (reference `decoder.py:193-233`). Down path ingests cat(source, energy);
+    skips FiLM-condition the up path; total upsampling = prod(factors) =
+    frame_size."""
+
+    cfg: DecoderConfig = DecoderConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        content: jnp.ndarray,
+        f0: jnp.ndarray,
+        energy: jnp.ndarray,
+        source: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2] -> [B,L]."""
+        channels = list(self.cfg.filter_channels)
+        factors = list(self.cfg.filter_factors)
+
+        x = nn.Dense(channels[0], name="content_in")(content) + nn.Dense(
+            channels[0], name="f0_in"
+        )(_log_f0_feature(f0))
+
+        src = jnp.concatenate([source, energy[..., None]], axis=-1)
+
+        # down path: stem conv at waveform rate, then 4 Downsamples
+        skips = []
+        src = Conv1d(channels[-1], 3, name="down_0")(src)
+        skips.append(src)
+        cs = list(reversed(channels[1:]))
+        ns = cs[1:] + [channels[0]]
+        fs = list(reversed(factors[1:]))
+        for i, (n, f) in enumerate(zip(ns, fs)):
+            src = Downsample(n, f, name=f"down_{i + 1}")(src)
+            skips.append(src)
+
+        # up path
+        ns_up = channels[1:] + [channels[-1]]
+        for i, (n, f) in enumerate(zip(ns_up, factors)):
+            x = Upsample(n, f, name=f"up_{i}")(x, skips[len(skips) - 1 - i])
+        out = Conv1d(1, 7, name="output_layer")(x)
+        return out[..., 0]
+
+
+class Decoder(nn.Module):
+    """SourceNet -> DSP -> FilterNet (reference `decoder.py:236-266`)."""
+
+    cfg: DecoderConfig = DecoderConfig()
+    audio: AudioConfig = AudioConfig()
+
+    def setup(self):
+        self.source_net = SourceNet(self.cfg, self.audio)
+        self.filter_net = FilterNet(self.cfg)
+
+    def dsp(
+        self,
+        f0: jnp.ndarray,
+        amps: jnp.ndarray,
+        kernel: jnp.ndarray,
+        key: jax.Array,
+        noise_angle: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Additive harmonics x amplitudes, concat filtered noise -> source
+        ``[B, L, H+2]``. Forced fp32 (reference `decoder.py:259-266`)."""
+        harmonics = oscillate_harmonics(
+            f0,
+            self.audio.hop_size,
+            self.audio.sample_rate,
+            self.cfg.num_harmonics,
+        )
+        amps_w = upsample_frames_to_samples(amps.astype(jnp.float32), self.audio.hop_size)
+        harmonics = harmonics * amps_w
+        noise = oscillate_noise(
+            kernel, key, self.audio.hop_size, self.audio.n_fft, angle=noise_angle
+        )
+        return jnp.concatenate([harmonics, noise[..., None]], axis=-1)
+
+    def infer(
+        self,
+        content: jnp.ndarray,
+        f0: jnp.ndarray,
+        energy: jnp.ndarray,
+        key: jax.Array,
+        noise_angle: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        amps, kernel = self.source_net(content, f0, energy)
+        source = self.dsp(f0, amps, kernel, key, noise_angle=noise_angle)
+        return self.filter_net(content, f0, energy, source)
+
+    def __call__(self, content, f0, energy, key, noise_angle=None):
+        return self.infer(content, f0, energy, key, noise_angle=noise_angle)
