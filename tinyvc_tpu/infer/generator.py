@@ -1,0 +1,159 @@
+"""End-to-end conversion pipeline (the TPU counterpart of
+`module/infer/generator.py:12-33`).
+
+The core is a pure, jittable function ``convert_fn``:
+wave -> spectrogram -> encoder -> kNN match -> pitch shift -> decoder.
+``VoiceConverter`` wraps it with parameter storage, shape bucketing, and a
+jit cache, so arbitrary-length utterances run through a handful of compiled
+programs.
+
+Deliberate deviation from the reference: ``Generator.convert`` accepts dead
+``f0_estimation`` / ``device`` arguments (reference `generator.py:26` — f0
+always comes from the encoder); we simply do not have them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TinyVCConfig
+from ..dsp import (
+    autopad_waveform,
+    estimate_energy,
+    pad_to_bucket,
+    shift_frequency,
+    spectrogram,
+)
+from ..models import Decoder, Encoder
+from ..ops import match_features
+
+
+def encode_fn(
+    encoder: Encoder, enc_params: Dict[str, Any], wave: jnp.ndarray, cfg: TinyVCConfig
+):
+    """wave [B, L] -> (content [B, F, 768], f0 [B, F])."""
+    wave = autopad_waveform(wave, cfg.audio.hop_size)
+    spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
+    return encoder.apply(enc_params, spec, method=encoder.infer)
+
+
+def convert_fn(
+    encoder: Encoder,
+    decoder: Decoder,
+    enc_params: Dict[str, Any],
+    dec_params: Dict[str, Any],
+    wave: jnp.ndarray,
+    target: jnp.ndarray,
+    pitch_shift: jnp.ndarray,
+    key: jax.Array,
+    cfg: TinyVCConfig,
+    noise_angle: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full VC pipeline on ``[B, L]`` waveforms with a ``[N, C]`` or
+    ``[B, N, C]`` target dictionary. Mirrors `module/infer/generator.py:25-33`.
+    """
+    wave = autopad_waveform(wave, cfg.audio.hop_size)
+    spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
+    energy = estimate_energy(wave, cfg.audio.energy_frame_size)
+    content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
+    if target.ndim == 2:
+        target = jnp.broadcast_to(
+            target[None], (content.shape[0],) + target.shape
+        )
+    matched = match_features(
+        content,
+        target,
+        k=cfg.retrieval.k,
+        alpha=cfg.retrieval.alpha,
+        metric=cfg.retrieval.metric,
+    )
+    f0 = shift_frequency(f0, pitch_shift)
+    return decoder.apply(
+        dec_params,
+        matched,
+        f0,
+        energy,
+        key,
+        noise_angle=noise_angle,
+        method=decoder.infer,
+    )
+
+
+class VoiceConverter:
+    """Stateful convenience wrapper: holds params, jits per bucketed shape.
+
+    The reference's `Generator` re-runs eager ops per call; here each
+    (batch, bucketed length) pair compiles once and is cached.
+    """
+
+    def __init__(
+        self,
+        enc_params: Dict[str, Any],
+        dec_params: Dict[str, Any],
+        cfg: TinyVCConfig | None = None,
+        bucket_frames: int = 64,
+    ):
+        self.cfg = cfg or TinyVCConfig()
+        self.encoder = Encoder(self.cfg.encoder)
+        self.decoder = Decoder(self.cfg.decoder, self.cfg.audio)
+        self.enc_params = enc_params
+        self.dec_params = dec_params
+        self.bucket_frames = bucket_frames
+
+        cfg_ = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _convert(enc_p, dec_p, wave, target, pitch_shift, key):
+            return convert_fn(
+                self.encoder, self.decoder, enc_p, dec_p, wave, target,
+                pitch_shift, key, cfg_,
+            )
+
+        @jax.jit
+        def _encode(enc_p, wave):
+            return encode_fn(self.encoder, enc_p, wave, cfg_)
+
+        self._convert = _convert
+        self._encode = _encode
+
+    def encode(self, wave: np.ndarray):
+        """Host entry: [B, L] or [L] -> (content, f0) with padding stripped."""
+        wave = np.atleast_2d(np.asarray(wave, dtype=np.float32))
+        padded, L = pad_to_bucket(wave, self.cfg.audio.hop_size, self.bucket_frames)
+        content, f0 = self._encode(self.enc_params, jnp.asarray(padded))
+        frames = L // self.cfg.audio.hop_size
+        return content[:, :frames], f0[:, :frames]
+
+    def build_dictionary(self, wave: np.ndarray) -> jnp.ndarray:
+        """Encode a target-speaker waveform into a [N, C] kNN dictionary."""
+        content, _ = self.encode(wave)
+        return content.reshape(-1, content.shape[-1])
+
+    def convert(
+        self,
+        wave: np.ndarray,
+        target: jnp.ndarray,
+        pitch_shift: float = 0.0,
+        key: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Host entry: [B, L] or [L] waveform -> converted waveform, same length."""
+        squeeze = np.asarray(wave).ndim == 1
+        wave = np.atleast_2d(np.asarray(wave, dtype=np.float32))
+        padded, L = pad_to_bucket(wave, self.cfg.audio.hop_size, self.bucket_frames)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        out = self._convert(
+            self.enc_params,
+            self.dec_params,
+            jnp.asarray(padded),
+            jnp.asarray(target),
+            jnp.float32(pitch_shift),
+            key,
+        )
+        out = np.asarray(out)[:, :L]
+        return out[0] if squeeze else out
