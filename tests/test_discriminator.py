@@ -1,0 +1,90 @@
+"""Discriminator parity vs the reference (weight transfer) + loss parity."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from module.tinyvc import Discriminator as RefDiscriminator
+
+from tinyvc_tpu.config import DiscriminatorConfig
+from tinyvc_tpu.models.discriminator import Discriminator
+from tinyvc_tpu.train.losses import (
+    discriminator_adversarial_loss,
+    feature_matching_loss,
+    generator_adversarial_loss,
+    multi_scale_stft_loss,
+)
+from tinyvc_tpu.utils.torch_compat_disc import discriminator_params_from_torch
+
+
+def test_discriminator_forward_parity(rng):
+    torch.manual_seed(5)
+    ref = RefDiscriminator().eval()
+    x = (rng.standard_normal((2, 8000)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = ref(torch.from_numpy(x))
+
+    params = {"params": discriminator_params_from_torch(ref.state_dict())}
+    ours_logits, ours_feats = Discriminator(DiscriminatorConfig()).apply(
+        params, jnp.asarray(x)
+    )
+
+    assert len(ours_logits) == len(ref_logits) == 10
+    assert len(ours_feats) == len(ref_feats)
+    # MPD logits: ref [B, c, t, p] NCHW vs ours [B, t, p, c] NHWC
+    for i in range(6):
+        ref_l = ref_logits[i].numpy()
+        ours_l = np.transpose(np.asarray(ours_logits[i]), (0, 3, 1, 2))
+        np.testing.assert_allclose(ours_l, ref_l, atol=3e-3, rtol=1e-2)
+    # MRD logits
+    for i in range(6, 10):
+        ref_l = ref_logits[i].numpy()
+        ours_l = np.transpose(np.asarray(ours_logits[i]), (0, 3, 1, 2))
+        np.testing.assert_allclose(ours_l, ref_l, atol=3e-3, rtol=1e-2)
+
+
+def test_lsgan_and_feature_losses(rng):
+    # oracle: the inlined loss code in train_decoder.py:113-149
+    logits = [rng.standard_normal((2, 5, 3, 1)).astype(np.float32) for _ in range(4)]
+    t = [torch.from_numpy(l) for l in logits]
+    ref_g = sum((x**2).mean() / len(t) for x in t)
+    ours_g = generator_adversarial_loss([jnp.asarray(l) for l in logits])
+    np.testing.assert_allclose(float(ours_g), float(ref_g), rtol=1e-5)
+
+    fake = [rng.standard_normal((2, 5, 3, 1)).astype(np.float32) for _ in range(4)]
+    tf_ = [torch.from_numpy(l) for l in fake]
+    ref_d = sum((x**2).mean() / len(t) for x in t) + sum(
+        ((x - 1) ** 2).mean() / len(tf_) for x in tf_
+    )
+    ours_d = discriminator_adversarial_loss(
+        [jnp.asarray(l) for l in logits], [jnp.asarray(l) for l in fake]
+    )
+    np.testing.assert_allclose(float(ours_d), float(ref_d), rtol=1e-5)
+
+    ref_feat = sum(
+        (a - b).abs().mean() / len(t) for a, b in zip(t, tf_)
+    )
+    ours_feat = feature_matching_loss(
+        [jnp.asarray(l) for l in logits], [jnp.asarray(l) for l in fake]
+    )
+    np.testing.assert_allclose(float(ours_feat), float(ref_feat), rtol=1e-5)
+
+
+def test_multi_scale_stft_loss_parity(rng):
+    # oracle: module/utils/loss.py:11-38
+    x = (rng.standard_normal((2, 4800)) * 0.3).astype(np.float32)
+    y = (rng.standard_normal((2, 4800)) * 0.3).astype(np.float32)
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+    ref = 0.0
+    scales = [16, 32, 64, 128, 256, 512]
+    for s in scales:
+        w = torch.hann_window(s * 4)
+        xs = torch.stft(xt, s * 4, s, window=w, return_complex=True).abs()
+        ys = torch.stft(yt, s * 4, s, window=w, return_complex=True).abs()
+        ref += ((xs - ys) ** 2).mean() + (
+            torch.log(xs + 1e-6) - torch.log(ys + 1e-6)
+        ).abs().mean()
+    ref = ref / len(scales)
+    ours = multi_scale_stft_loss(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-3)

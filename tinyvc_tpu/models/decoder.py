@@ -265,5 +265,19 @@ class Decoder(nn.Module):
         source = self.dsp(f0, amps, kernel, key, noise_angle=noise_angle)
         return self.filter_net(content, f0, energy, source)
 
+    def train_forward(
+        self,
+        content: jnp.ndarray,
+        f0: jnp.ndarray,
+        energy: jnp.ndarray,
+        key: jax.Array,
+    ):
+        """Like :meth:`infer` but also returns the DSP source, which feeds the
+        auxiliary DSP loss (reference `train_decoder.py:105-109`)."""
+        amps, kernel = self.source_net(content, f0, energy)
+        source = self.dsp(f0, amps, kernel, key)
+        fake = self.filter_net(content, f0, energy, source)
+        return fake, source
+
     def __call__(self, content, f0, energy, key, noise_angle=None):
         return self.infer(content, f0, energy, key, noise_angle=noise_angle)

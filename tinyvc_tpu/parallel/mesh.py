@@ -1,0 +1,74 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-device (`SURVEY.md` §2.3: no
+torch.distributed anywhere); this layer is new design. Axes:
+
+- ``data``: batch (utterance) parallelism for training and batched offline
+  conversion; gradients all-reduce over ICI via XLA's GSPMD partitioner.
+- ``model``: the kNN dictionary axis — the speaker index is sharded along N
+  and nearest neighbours are resolved with a local-top-k + all-gather +
+  re-top-k reduction (`tinyvc_tpu.parallel.sharded_knn`).
+
+Multi-host: call :func:`init_distributed` first (jax.distributed), then
+:func:`make_mesh` over the global device list — DP gradients ride ICI within
+a slice and DCN across hosts automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host setup (the TPU-native analogue of the NCCL/MPI init the
+    reference never had). No-op on a single host."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a ``(data, model)`` mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """First axis over 'data', rest replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def dict_sharding(mesh: Mesh) -> NamedSharding:
+    """kNN dictionary [N, C]: N over 'model', C replicated."""
+    return NamedSharding(mesh, P("model", None))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place every leaf of a batch pytree with axis 0 over 'data'."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)

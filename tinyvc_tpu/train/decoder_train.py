@@ -1,0 +1,193 @@
+"""Decoder (vocoder) GAN training.
+
+Behavioural spec: `train_decoder.py:18-172` — two AdamW(1e-4, betas 0.8/0.99)
+optimizers with grad-clip 1.0; generator loss = spec + dsp (+ adv + feature
+matching once the discriminator joins at step `discriminator_join`); LSGAN
+with inverted labels (real -> 0, fake -> 1); discriminators see an 8000-sample
+centre crop; self-kNN (`match_features(z, z)`, stop-gradient) stands in for
+cross-speaker matching at train time (`train_decoder.py:102`).
+
+The discriminator-join gate is a Python-level phase switch (two compiled
+programs), not a traced conditional — per SURVEY §7.3 this recompiles once
+at the boundary instead of carrying a dead discriminator subgraph for the
+first 100k steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import TinyVCConfig
+from ..dsp import estimate_energy, spectrogram
+from ..models import Decoder, Encoder
+from ..models.discriminator import Discriminator
+from ..ops import match_features
+from .losses import (
+    discriminator_adversarial_loss,
+    feature_matching_loss,
+    generator_adversarial_loss,
+    log_mel_loss,
+    multi_scale_stft_loss,
+)
+
+
+@struct.dataclass
+class GanTrainState:
+    gen_params: Any
+    disc_params: Any
+    gen_opt: Any
+    disc_opt: Any
+    step: jnp.ndarray
+
+
+def make_optimizers(cfg: TinyVCConfig):
+    def tx():
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip),
+            optax.adamw(
+                cfg.train.learning_rate,
+                b1=cfg.train.adam_betas_gan[0],
+                b2=cfg.train.adam_betas_gan[1],
+            ),
+        )
+
+    return tx(), tx()
+
+
+def init_state(cfg: TinyVCConfig, key: jax.Array) -> GanTrainState:
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    disc = Discriminator(cfg.discriminator)
+    k1, k2, k3 = jax.random.split(key, 3)
+    F = cfg.train.chunk_length // cfg.audio.hop_size
+    L = cfg.train.chunk_length
+    gen_params = decoder.init(
+        k1,
+        jnp.zeros((1, F, cfg.decoder.content_channels)),
+        jnp.zeros((1, F)),
+        jnp.zeros((1, L)),
+        k3,
+    )
+    disc_params = disc.init(k2, jnp.zeros((1, cfg.train.disc_crop)))
+    gtx, dtx = make_optimizers(cfg)
+    return GanTrainState(
+        gen_params=gen_params,
+        disc_params=disc_params,
+        gen_opt=gtx.init(gen_params),
+        disc_opt=dtx.init(disc_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def center_crop(wave: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Centre crop fed to the discriminators (reference `train_decoder.py:59-62`)."""
+    c = wave.shape[1] // 2
+    half = length // 2
+    return wave[:, c - half : c + half]
+
+
+def make_train_step(cfg: TinyVCConfig, d_join: bool, spec_loss_type: str = "ms-stft"):
+    """Returns a jittable (state, enc_params, wave, key) -> (state, metrics).
+
+    ``d_join`` selects the pre/post discriminator-join program
+    (reference `train_decoder.py:91,113-122`).
+    """
+    encoder = Encoder(cfg.encoder)
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    disc = Discriminator(cfg.discriminator)
+    gtx, dtx = make_optimizers(cfg)
+
+    if spec_loss_type == "ms-stft":
+        spec_loss = multi_scale_stft_loss
+    elif spec_loss_type == "mel":
+        spec_loss = lambda x, y: log_mel_loss(
+            x, y, cfg.mel.sample_rate, cfg.mel.n_fft, cfg.mel.hop_size, cfg.mel.n_mels
+        )
+    else:
+        raise ValueError(spec_loss_type)
+
+    def forward_fake(gen_params, enc_params, wave, key):
+        spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
+        content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
+        # self-kNN as the train-time proxy for conversion
+        z_fake = jax.lax.stop_gradient(
+            match_features(
+                content, content, k=cfg.retrieval.k, metric=cfg.retrieval.metric
+            )
+        )
+        energy = estimate_energy(wave, cfg.audio.energy_frame_size)
+        fake, dsp_out = decoder.apply(
+            gen_params, z_fake, f0, energy, key, method=decoder.train_forward
+        )
+        return fake, dsp_out
+
+    @jax.jit
+    def train_step(state: GanTrainState, enc_params, wave, key) -> Tuple[
+        GanTrainState, Dict[str, jnp.ndarray]
+    ]:
+        k_gain, k_noise = jax.random.split(key)
+        # volume augmentation (reference `train_decoder.py:94`)
+        wave = wave * (jax.random.uniform(k_gain, (wave.shape[0], 1)) * 2.0)
+
+        # ---- generator phase ----
+        def g_loss_fn(gen_params):
+            fake, dsp_out = forward_fake(gen_params, enc_params, wave, k_noise)
+            loss_dsp = spec_loss(jnp.sum(dsp_out, axis=-1), wave)
+            loss_spec = spec_loss(fake, wave)
+            metrics = {"loss_spec": loss_spec, "loss_dsp": loss_dsp}
+            loss_g = (
+                loss_spec * cfg.train.weight_spec + loss_dsp * cfg.train.weight_dsp
+            )
+            if d_join:
+                real_crop = center_crop(wave, cfg.train.disc_crop)
+                fake_crop = center_crop(fake, cfg.train.disc_crop)
+                _, feats_real = disc.apply(state.disc_params, real_crop)
+                logits_fake, feats_fake = disc.apply(state.disc_params, fake_crop)
+                loss_adv = generator_adversarial_loss(logits_fake)
+                loss_feat = feature_matching_loss(feats_real, feats_fake)
+                loss_g = (
+                    loss_g
+                    + loss_adv * cfg.train.weight_adv
+                    + loss_feat * cfg.train.weight_feat
+                )
+                metrics.update({"loss_adv": loss_adv, "loss_feat": loss_feat})
+            return loss_g, (metrics, fake)
+
+        (loss_g, (metrics, fake)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.gen_params)
+        g_updates, gen_opt = gtx.update(g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+        metrics["loss_g"] = loss_g
+
+        # ---- discriminator phase ----
+        disc_params, disc_opt = state.disc_params, state.disc_opt
+        if d_join:
+            fake = jax.lax.stop_gradient(fake)
+            real_crop = center_crop(wave, cfg.train.disc_crop)
+            fake_crop = center_crop(fake, cfg.train.disc_crop)
+
+            def d_loss_fn(dp):
+                logits_real, _ = disc.apply(dp, real_crop)
+                logits_fake, _ = disc.apply(dp, fake_crop)
+                return discriminator_adversarial_loss(logits_real, logits_fake)
+
+            loss_d, d_grads = jax.value_and_grad(d_loss_fn)(disc_params)
+            d_updates, disc_opt = dtx.update(d_grads, disc_opt, disc_params)
+            disc_params = optax.apply_updates(disc_params, d_updates)
+            metrics["loss_d"] = loss_d
+
+        new_state = GanTrainState(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt=gen_opt,
+            disc_opt=disc_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
