@@ -1,0 +1,90 @@
+"""Benchmark: full VC pipeline throughput on one chip.
+
+Measures BASELINE.json config 3 — full encode -> kNN match (2048-entry
+dictionary) -> pitch-shift -> DDSP decode, batch 16 — and reports real-time
+factor (audio-seconds synthesised per wall-clock second) per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 50 (the BASELINE.md target: >50x RTF per v5e chip;
+the reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tinyvc_tpu.config import TinyVCConfig
+    from tinyvc_tpu.infer.generator import convert_fn
+    from tinyvc_tpu.models import Decoder, Encoder
+
+    cfg = TinyVCConfig()
+    B = 16
+    SECONDS = 10.0
+    L = int(SECONDS * cfg.audio.sample_rate)  # 10 s per utterance
+    L = (L // cfg.audio.hop_size) * cfg.audio.hop_size
+    N = cfg.retrieval.index_size  # 2048
+
+    key = jax.random.PRNGKey(0)
+    encoder = Encoder(cfg.encoder)
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    k1, k2, k3 = jax.random.split(key, 3)
+    F = L // cfg.audio.hop_size
+    enc_params = encoder.init(k1, jnp.zeros((1, F, cfg.audio.fft_bin)))
+    dec_params = decoder.init(
+        k2,
+        jnp.zeros((1, F, cfg.decoder.content_channels)),
+        jnp.zeros((1, F)),
+        jnp.zeros((1, L)),
+        k3,
+    )
+
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+    target = jnp.asarray(
+        rng.standard_normal((N, cfg.encoder.ssl_dim)).astype(np.float32)
+    )
+    pitch_shift = jnp.float32(0.0)
+
+    @jax.jit
+    def fn(enc_p, dec_p, wave, target, pitch_shift, key):
+        return convert_fn(
+            encoder, decoder, enc_p, dec_p, wave, target, pitch_shift, key, cfg
+        )
+
+    # warmup / compile
+    out = fn(enc_params, dec_params, wave, target, pitch_shift, key)
+    out.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(
+            enc_params, dec_params, wave, target, pitch_shift,
+            jax.random.PRNGKey(i),
+        )
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = B * L / cfg.audio.sample_rate
+    rtf = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vc_rtf_per_chip",
+                "value": round(rtf, 2),
+                "unit": "audio-seconds/s",
+                "vs_baseline": round(rtf / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Streaming engine tests: SOLA step parity vs the reference StreamInfer
+algorithm (replicated with torch primitives) and continuity behaviour."""
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from tinyvc_tpu.config import StreamConfig, TinyVCConfig
+from tinyvc_tpu.infer.stream import (
+    StreamState,
+    _fade_windows,
+    phase_vocoder,
+)
+
+
+def test_fade_windows_match_reference():
+    # oracle: module/infer/stream.py:61-62
+    cf = 1920
+    ref_fade_in = torch.sin(
+        math.pi * torch.arange(0, 1, 1 / cf) / 2
+    ) ** 2
+    fade_in, fade_out = _fade_windows(cf)
+    np.testing.assert_allclose(np.asarray(fade_in), ref_fade_in.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(fade_out), (1 - ref_fade_in).numpy(), atol=1e-6
+    )
+
+
+def test_phase_vocoder_matches_reference(rng):
+    # oracle: module/infer/stream.py:9-26
+    n = 256
+    a = rng.standard_normal(n).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    t_ = torch.arange(0, 1, 1 / n)
+    fade_in_t = torch.sin(math.pi * t_ / 2) ** 2
+    fade_out_t = 1 - fade_in_t
+
+    at, bt = torch.from_numpy(a), torch.from_numpy(b)
+    window = torch.sqrt(fade_out_t * fade_in_t)
+    fa = torch.fft.rfft(at * window)
+    fb = torch.fft.rfft(bt * window)
+    absab = torch.abs(fa) + torch.abs(fb)
+    if n % 2 == 0:
+        absab[1:-1] *= 2
+    else:
+        absab[1:] *= 2
+    phia = torch.angle(fa)
+    phib = torch.angle(fb)
+    deltaphase = phib - phia
+    deltaphase = deltaphase - 2 * np.pi * torch.floor(deltaphase / 2 / np.pi + 0.5)
+    w = 2 * np.pi * torch.arange(n // 2 + 1).to(at) + deltaphase
+    tt = torch.arange(n).unsqueeze(-1).to(at) / n
+    ref = (
+        at * (fade_out_t**2)
+        + bt * (fade_in_t**2)
+        + torch.sum(absab * torch.cos(w * tt + phia), -1) * window / n
+    )
+
+    fade_in_j = jnp.asarray(fade_in_t.numpy())
+    fade_out_j = jnp.asarray(fade_out_t.numpy())
+    ours = phase_vocoder(jnp.asarray(a), jnp.asarray(b), fade_out_j, fade_in_j)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4)
+
+
+def test_sola_correlation_matches_torch_conv(rng):
+    # oracle: module/infer/stream.py:75-80 (F.conv1d-based xcorr)
+    cf, search = 128, 96
+    conv_input = rng.standard_normal(cf + search).astype(np.float32)
+    sola_buf = rng.standard_normal(cf).astype(np.float32)
+
+    ci = torch.from_numpy(conv_input)[None, None]
+    sb = torch.from_numpy(sola_buf)[None, None]
+    cor_nom = TF.conv1d(ci, sb)
+    cor_den = torch.sqrt(TF.conv1d(ci**2, torch.ones(1, 1, cf)) + 1e-8)
+    ref_shift = int(torch.argmax(cor_nom[0, 0] / cor_den[0, 0]))
+
+    nom = jnp.correlate(jnp.asarray(conv_input), jnp.asarray(sola_buf), mode="valid")
+    den = jnp.sqrt(
+        jnp.correlate(
+            jnp.asarray(conv_input) ** 2, jnp.ones(cf), mode="valid"
+        )
+        + 1e-8
+    )
+    np.testing.assert_allclose(np.asarray(nom), cor_nom[0, 0].numpy(), atol=1e-3)
+    assert int(jnp.argmax(nom / den)) == ref_shift
+
+
+def test_stream_converter_runs_and_is_continuous(rng):
+    """Identity-ish smoke: random small models; consecutive blocks produced
+    without NaN and with the documented block size/latency."""
+    from tests.test_training import small_config
+    from tinyvc_tpu.infer.stream import StreamConverter
+    from tinyvc_tpu.models import Decoder, Encoder
+
+    cfg = small_config()
+    scfg = StreamConfig(
+        block_size=480, extra_size=960, sola_search_size=480,
+        crossfade_size=480, last_delay_size=960,
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, stream=scfg)
+
+    enc = Encoder(cfg.encoder)
+    dec = Decoder(cfg.decoder, cfg.audio)
+    F = scfg.input_size // cfg.audio.hop_size
+    L = F * cfg.audio.hop_size
+    assert L == scfg.input_size  # input_size must be frame-aligned
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    enc_p = enc.init(k1, jnp.zeros((1, F, cfg.audio.fft_bin)))
+    dec_p = dec.init(
+        k2,
+        jnp.zeros((1, F, cfg.decoder.content_channels)),
+        jnp.zeros((1, F)),
+        jnp.zeros((1, L)),
+        k3,
+    )
+    target = rng.standard_normal((64, cfg.encoder.ssl_dim)).astype(np.float32)
+
+    sc = StreamConverter(enc_p, dec_p, target, cfg)
+    outs = []
+    for i in range(4):
+        block = (rng.standard_normal(sc.block_size) * 0.1).astype(np.float32)
+        out = sc.process_block(block)
+        assert out.shape == (sc.block_size,)
+        assert np.isfinite(out).all()
+        outs.append(out)
+    assert sc.latency_samples > 0
