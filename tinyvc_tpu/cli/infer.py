@@ -1,0 +1,72 @@
+"""CLI: batch file conversion (counterpart of the reference `infer.py`).
+
+The reference's vestigial ``--chunk-size/--buffer-size/--no-chunking`` flags
+(parsed but unused, `infer.py:27-29,40-41`) are intentionally absent —
+whole-utterance conversion with length bucketing is the only mode, matching
+the reference's actual behaviour.
+"""
+
+import argparse
+import glob
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="batch voice conversion")
+    p.add_argument("-i", "--inputs", default="./inputs/")
+    p.add_argument("-o", "--outputs", default="./outputs/")
+    p.add_argument("-encp", "--encoder-path", default="models/encoder")
+    p.add_argument("-decp", "--decoder-path", default="models/decoder")
+    p.add_argument("-idx", "--index", default="NONE")
+    p.add_argument("-t", "--target", default="target.wav")
+    p.add_argument("-p", "--pitch-shift", default=0.0, type=float)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import TinyVCConfig
+    from ..dsp.resample import resample
+    from ..infer import VoiceConverter
+    from ..utils.audio_io import load_audio, save_wav
+    from ..utils.model_store import (
+        load_decoder_params,
+        load_encoder_params,
+        load_index,
+    )
+
+    cfg = TinyVCConfig()
+    vc = VoiceConverter(
+        load_encoder_params(args.encoder_path, cfg),
+        load_decoder_params(args.decoder_path, cfg),
+        cfg,
+    )
+
+    if args.index == "NONE":
+        wf, sr = load_audio(args.target)
+        wf = wf.mean(axis=0)
+        if sr != cfg.audio.sample_rate:
+            wf = np.asarray(resample(jnp.asarray(wf[None]), sr, cfg.audio.sample_rate))[0]
+        target = vc.build_dictionary(wf)
+    else:
+        target = jnp.asarray(load_index(args.index))
+
+    os.makedirs(args.outputs, exist_ok=True)
+    paths = []
+    for fmt in ("wav", "ogg", "mp3"):
+        paths += glob.glob(os.path.join(args.inputs, f"*.{fmt}"))
+
+    for path in paths:
+        print(f"Converting {path} ...")
+        wf, sr = load_audio(path)
+        wf = wf.mean(axis=0)
+        if sr != cfg.audio.sample_rate:
+            wf = np.asarray(resample(jnp.asarray(wf[None]), sr, cfg.audio.sample_rate))[0]
+        out = vc.convert(wf, target, args.pitch_shift)
+        name = os.path.splitext(os.path.basename(path))[0]
+        save_wav(os.path.join(args.outputs, f"{name}.wav"), out, cfg.audio.sample_rate)
+    print(f"done: {len(paths)} files -> {args.outputs}")
+
+
+if __name__ == "__main__":
+    main()

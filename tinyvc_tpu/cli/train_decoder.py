@@ -1,0 +1,57 @@
+"""CLI: decoder GAN training (counterpart of the reference `train_decoder.py`)."""
+
+import argparse
+import dataclasses
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="train the DDSP vocoder (GAN)")
+    p.add_argument("--dataset-cache", default="dataset_cache")
+    p.add_argument("-encp", "--encoder-path", default="models/encoder")
+    p.add_argument("-decp", "--decoder-path", default="models/decoder")
+    p.add_argument("-d-join", "--discriminator-join", default=100000, type=int)
+    p.add_argument("-step", "--max-steps", default=300000, type=int)
+    p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("-b", "--batch-size", default=16, type=int)
+    p.add_argument("--log-interval", default=50, type=int)
+    p.add_argument("--save-interval", default=500, type=int)
+    p.add_argument("--log-dir", default="./logs")
+    p.add_argument("-spec-type", choices=["ms-stft", "mel"], default="ms-stft")
+    p.add_argument("--weight-adv", default=2.0, type=float)
+    p.add_argument("--weight-dsp", default=1.0, type=float)
+    p.add_argument("--weight-spec", default=1.0, type=float)
+    p.add_argument("--weight-feat", default=2.0, type=float)
+    args = p.parse_args(argv)
+
+    from ..config import TinyVCConfig
+    from ..train.loop import train_decoder
+
+    cfg = TinyVCConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            log_interval=args.log_interval,
+            save_interval=args.save_interval,
+            max_steps=args.max_steps,
+            discriminator_join=args.discriminator_join,
+            weight_adv=args.weight_adv,
+            weight_dsp=args.weight_dsp,
+            weight_spec=args.weight_spec,
+            weight_feat=args.weight_feat,
+        ),
+    )
+    train_decoder(
+        cfg,
+        dataset_dir=args.dataset_cache,
+        encoder_ckpt=args.encoder_path,
+        ckpt_dir=args.decoder_path,
+        log_dir=args.log_dir,
+        spec_loss_type=args.spec_type,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""CLI: encoder distillation training (counterpart of the reference
+`train_encoder.py`)."""
+
+import argparse
+import dataclasses
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="distillation of WavLM layer 4 + pitch estimation"
+    )
+    p.add_argument("--dataset-cache", default="dataset_cache")
+    p.add_argument("--noises", default="NONE")
+    p.add_argument("--wavlm", default="microsoft/wavlm-base-plus")
+    p.add_argument("-path", "--path", default="models/encoder")
+    p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("-e", "--epoch", default=60, type=int)
+    p.add_argument("-b", "--batch-size", default=16, type=int)
+    p.add_argument("--log-interval", default=50, type=int)
+    p.add_argument("--log-dir", default="./logs")
+    args = p.parse_args(argv)
+
+    from ..config import TinyVCConfig
+    from ..train.loop import train_encoder
+
+    cfg = TinyVCConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            log_interval=args.log_interval,
+        ),
+    )
+    train_encoder(
+        cfg,
+        dataset_dir=args.dataset_cache,
+        ckpt_dir=args.path,
+        log_dir=args.log_dir,
+        epochs=args.epoch,
+        noises_dir=None if args.noises == "NONE" else args.noises,
+        teacher_model=args.wavlm,
+    )
+
+
+if __name__ == "__main__":
+    main()

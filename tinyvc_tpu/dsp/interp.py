@@ -20,7 +20,8 @@ def _source_coords(in_len: int, out_len: int, dtype=jnp.float32):
     scale = in_len / out_len
     i = jnp.arange(out_len, dtype=dtype)
     src = (i + 0.5) * scale - 0.5
-    src = jnp.clip(src, 0.0, float(in_len - 1))
+    # (in_len may be a symbolic dimension under jax.export — no float() cast)
+    src = jnp.clip(src, 0.0, jnp.asarray(in_len - 1, dtype))
     idx0 = jnp.floor(src)
     frac = src - idx0
     idx0 = idx0.astype(jnp.int32)

@@ -1,0 +1,212 @@
+"""Training loops driving the jitted steps (the counterpart of the
+reference's `train_encoder.py` / `train_decoder.py` script bodies).
+
+Data-parallel by default: when more than one device is visible the batch is
+sharded over the 'data' mesh axis and parameters are replicated — XLA's
+partitioner inserts the gradient all-reduce (SURVEY §2.3 item 1).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TinyVCConfig
+from ..data.dataset import DataLoader, Dataset
+from ..data.noise import NoiseGenerator
+from ..dsp.resample import resample
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.checkpoint import CheckpointManager
+from ..utils.metrics import (
+    TAG_D_ADV,
+    TAG_DISTILL,
+    TAG_DSP,
+    TAG_FEAT,
+    TAG_G_ADV,
+    TAG_PITCH,
+    TAG_SPEC,
+    MetricsWriter,
+)
+from . import decoder_train, encoder_train
+from .teacher import CachedTeacher, make_teacher
+
+
+def _mesh_or_none():
+    n = len(jax.devices())
+    if n > 1:
+        return make_mesh(data=n, model=1)
+    return None
+
+
+def train_encoder(
+    cfg: TinyVCConfig,
+    dataset_dir: str = "dataset_cache",
+    ckpt_dir: str = "models/encoder",
+    log_dir: str = "./logs",
+    epochs: Optional[int] = None,
+    noises_dir: Optional[str] = None,
+    teacher_model: str = "microsoft/wavlm-base-plus",
+    seed: int = 0,
+):
+    """WavLM distillation + pitch training (reference `train_encoder.py:21-122`)."""
+    epochs = epochs if epochs is not None else cfg.train.encoder_epochs
+    ds = Dataset(dataset_dir)
+    dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+    _, state = encoder_train.init_state(cfg, jax.random.PRNGKey(seed))
+    step_fn = encoder_train.make_train_step(cfg)
+
+    ckpt = CheckpointManager(ckpt_dir)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed encoder training at step {int(state.step)}")
+
+    mesh = _mesh_or_none()
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    noise_gen = NoiseGenerator(noises_dir) if noises_dir else None
+    teacher = make_teacher(dataset_dir, teacher_model)
+    writer = MetricsWriter(log_dir)
+
+    key = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for epoch in range(epochs):
+        for batch in dl:
+            wave, f0 = batch["wave"], batch["f0"]
+            if noise_gen is not None:
+                wave = noise_gen.add_noise(wave)
+            if isinstance(teacher, CachedTeacher):
+                raise NotImplementedError(
+                    "cached teacher requires index-aware batching; "
+                    "precompute with matching order or use live WavLM"
+                )
+            elif teacher is not None:
+                wave16 = np.asarray(
+                    resample(jnp.asarray(wave), cfg.audio.sample_rate, 16000)
+                )
+                tfeat = teacher(wave16)
+            else:
+                tfeat = np.zeros(
+                    (wave.shape[0], f0.shape[1], cfg.encoder.ssl_dim), np.float32
+                )
+            key, sub = jax.random.split(key)
+            args = {"wave": wave, "f0": f0, "teacher": tfeat}
+            if mesh is not None:
+                args = shard_batch(args, mesh)
+            state, metrics = step_fn(
+                state, args["wave"], args["f0"], args["teacher"], sub
+            )
+            step = int(state.step)
+            if step % cfg.train.log_interval == 0:
+                writer.write(
+                    step,
+                    {
+                        TAG_PITCH: metrics["loss_f0"],
+                        TAG_DISTILL: metrics["loss_distill"],
+                    },
+                )
+                print(
+                    f"epoch {epoch} step {step} "
+                    f"f0={float(metrics['loss_f0']):.4f} "
+                    f"distill={float(metrics['loss_distill']):.4f} "
+                    f"({time.time() - t0:.0f}s)"
+                )
+            if step % cfg.train.save_interval == 0:
+                ckpt.save(step, jax.device_get(state), cfg)
+    ckpt.save(int(state.step), jax.device_get(state), cfg)
+    writer.close()
+    ckpt.close()
+    return state
+
+
+def train_decoder(
+    cfg: TinyVCConfig,
+    dataset_dir: str = "dataset_cache",
+    encoder_ckpt: str = "models/encoder",
+    ckpt_dir: str = "models/decoder",
+    log_dir: str = "./logs",
+    max_steps: Optional[int] = None,
+    spec_loss_type: str = "ms-stft",
+    seed: int = 0,
+):
+    """GAN vocoder training (reference `train_decoder.py:18-172`)."""
+    from .encoder_train import init_state as enc_init
+
+    max_steps = max_steps if max_steps is not None else cfg.train.max_steps
+    ds = Dataset(dataset_dir)
+    dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+
+    # frozen encoder
+    _, enc_state = enc_init(cfg, jax.random.PRNGKey(seed))
+    enc_ckpt = CheckpointManager(encoder_ckpt)
+    enc_restored = enc_ckpt.restore(enc_state)
+    if enc_restored is not None:
+        enc_state = enc_restored
+        print(f"loaded encoder at step {int(enc_state.step)}")
+    else:
+        print("WARNING: encoder checkpoint not found; using random encoder")
+    enc_params = enc_state.params
+    enc_ckpt.close()
+
+    state = decoder_train.init_state(cfg, jax.random.PRNGKey(seed + 1))
+    ckpt = CheckpointManager(ckpt_dir)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed decoder training at step {int(state.step)} "
+              "(optimizer state and join gate preserved)")
+
+    mesh = _mesh_or_none()
+    if mesh is not None:
+        state = replicate(state, mesh)
+        enc_params = replicate(enc_params, mesh)
+
+    writer = MetricsWriter(log_dir)
+    key = jax.random.PRNGKey(seed + 2)
+    # two compiled phases around the discriminator join
+    step_pre = decoder_train.make_train_step(cfg, d_join=False, spec_loss_type=spec_loss_type)
+    step_post = decoder_train.make_train_step(cfg, d_join=True, spec_loss_type=spec_loss_type)
+
+    t0 = time.time()
+    done = False
+    while not done:
+        for batch in dl:
+            step = int(state.step)
+            if step >= max_steps:
+                done = True
+                break
+            d_join = step >= cfg.train.discriminator_join
+            fn = step_post if d_join else step_pre
+            key, sub = jax.random.split(key)
+            wave = batch["wave"]
+            if mesh is not None:
+                wave = shard_batch(wave, mesh)
+            state, metrics = fn(state, enc_params, wave, sub)
+            step = int(state.step)
+            if step % cfg.train.log_interval == 0:
+                scalars = {
+                    TAG_SPEC: metrics["loss_spec"],
+                    TAG_DSP: metrics["loss_dsp"],
+                }
+                if d_join:
+                    scalars[TAG_G_ADV] = metrics["loss_adv"]
+                    scalars[TAG_FEAT] = metrics["loss_feat"]
+                    scalars[TAG_D_ADV] = metrics["loss_d"]
+                writer.write(step, scalars)
+                print(
+                    f"step {step} spec={float(metrics['loss_spec']):.4f} "
+                    f"dsp={float(metrics['loss_dsp']):.4f} "
+                    + (f"d={float(metrics['loss_d']):.4f} " if d_join else "")
+                    + f"({time.time() - t0:.0f}s)"
+                )
+            if step % cfg.train.save_interval == 0:
+                ckpt.save(step, jax.device_get(state), cfg)
+    ckpt.save(int(state.step), jax.device_get(state), cfg)
+    writer.close()
+    ckpt.close()
+    return state
