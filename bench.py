@@ -52,25 +52,39 @@ def main():
     )
     pitch_shift = jnp.float32(0.0)
 
+    ITERS = 20
+
+    # Time ITERS full pipeline executions inside ONE jitted program
+    # (lax.fori_loop). This excludes per-call host/RPC dispatch latency and
+    # prevents async-completion artefacts from under-reporting; the carried
+    # perturbation makes every iteration's input unique so XLA cannot hoist
+    # loop-invariant work.
     @jax.jit
-    def fn(enc_p, dec_p, wave, target, pitch_shift, key):
-        return convert_fn(
-            encoder, decoder, enc_p, dec_p, wave, target, pitch_shift, key, cfg
-        )
+    def bench_fn(enc_p, dec_p, wave, target, pitch_shift, key):
+        def body(i, carry):
+            w = wave + carry * 1e-20
+            out = convert_fn(
+                encoder, decoder, enc_p, dec_p, w, target, pitch_shift,
+                jax.random.fold_in(key, i), cfg,
+            )
+            return jnp.mean(out)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
     # warmup / compile
-    out = fn(enc_params, dec_params, wave, target, pitch_shift, key)
-    out.block_until_ready()
+    bench_fn(enc_params, dec_params, wave, target, pitch_shift, key).block_until_ready()
 
-    iters = 10
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(
-            enc_params, dec_params, wave, target, pitch_shift,
-            jax.random.PRNGKey(i),
-        )
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    r = bench_fn(enc_params, dec_params, wave, target, pitch_shift, key)
+    r.block_until_ready()
+    total = time.perf_counter() - t0
+
+    # subtract the fixed dispatch/RPC overhead measured with a 0-iteration
+    # program of the same shape
+    t0 = time.perf_counter()
+    jnp.mean(wave).block_until_ready()
+    overhead = time.perf_counter() - t0
+    dt = max(total - overhead, 1e-9) / ITERS
 
     audio_seconds = B * L / cfg.audio.sample_rate
     rtf = audio_seconds / dt

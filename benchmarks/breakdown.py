@@ -1,0 +1,125 @@
+"""Per-stage throughput breakdown on the real chip.
+
+Times each pipeline stage with the same in-graph fori_loop method as
+bench.py (N executions inside one program; free of per-call RPC latency),
+so optimisation effort goes where the time is.
+
+Usage: python benchmarks/breakdown.py [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from tinyvc_tpu.config import TinyVCConfig
+from tinyvc_tpu.dsp import estimate_energy, spectrogram
+from tinyvc_tpu.models import Decoder, Encoder
+from tinyvc_tpu.ops import match_features
+
+
+def timed_loop(fn, *args, iters=20, label=""):
+    """Run `fn` iters times inside one jitted program; returns seconds/iter."""
+
+    @jax.jit
+    def loop(*args):
+        def body(i, carry):
+            out = fn(i, carry, *args)
+            return jnp.mean(out)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    loop(*args).block_until_ready()
+    t0 = time.perf_counter()
+    loop(*args).block_until_ready()
+    total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jnp.zeros(()).block_until_ready()
+    overhead = time.perf_counter() - t0
+    dt = max(total - overhead, 1e-9) / iters
+    print(f"{label:24s} {dt * 1000:9.3f} ms/iter")
+    return dt
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    cfg = TinyVCConfig()
+    B, L, N = 16, 240000, 2048
+    F = L // 480
+    key = jax.random.PRNGKey(0)
+    encoder = Encoder(cfg.encoder)
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    k1, k2, k3 = jax.random.split(key, 3)
+    enc_p = encoder.init(k1, jnp.zeros((1, F, 961)))
+    dec_p = decoder.init(
+        k2, jnp.zeros((1, F, 768)), jnp.zeros((1, F)), jnp.zeros((1, L)), k3
+    )
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+    target = jnp.asarray(rng.standard_normal((B, N, 768)).astype(np.float32))
+    content = jnp.asarray(rng.standard_normal((B, F, 768)).astype(np.float32))
+    f0 = jnp.asarray(
+        (np.abs(rng.standard_normal((B, F))) * 200 + 50).astype(np.float32)
+    )
+    energy = jnp.asarray(np.abs(rng.standard_normal((B, L))).astype(np.float32))
+    spec = jnp.asarray(np.abs(rng.standard_normal((B, F, 961))).astype(np.float32))
+    amps = jnp.asarray(
+        np.abs(rng.standard_normal((B, F, 15))).astype(np.float32) + 0.5
+    )
+    kern = jnp.asarray(
+        np.abs(rng.standard_normal((B, F, 961))).astype(np.float32) + 0.5
+    )
+    audio_sec = B * L / 24000
+
+    results = {}
+    results["spectrogram"] = timed_loop(
+        lambda i, c, w: spectrogram(w + c * 1e-20, 1920, 480),
+        wave, iters=iters, label="spectrogram",
+    )
+    results["energy"] = timed_loop(
+        lambda i, c, w: estimate_energy(w + c * 1e-20),
+        wave, iters=iters, label="energy",
+    )
+    results["encoder"] = timed_loop(
+        lambda i, c, s, p: encoder.apply(p, s + c * 1e-20, method=encoder.infer)[0],
+        spec, enc_p, iters=iters, label="encoder (ssl+pitch)",
+    )
+    results["knn"] = timed_loop(
+        lambda i, c, z, t: match_features(z + c * 1e-20, t),
+        content, target, iters=iters, label="knn match (N=2048)",
+    )
+    results["source_net"] = timed_loop(
+        lambda i, c, z, f, e, p: decoder.apply(
+            p, z + c * 1e-20, f, e,
+            method=lambda m, z_, f_, e_: m.source_net(z_, f_, e_),
+        )[0],
+        content, f0, energy, dec_p, iters=iters, label="source_net",
+    )
+    results["dsp"] = timed_loop(
+        lambda i, c, f, a, k_, p: decoder.apply(
+            p, f, a + c * 1e-20, k_, jax.random.fold_in(key, i),
+            method=lambda m, f_, a_, kk, key_: m.dsp(f_, a_, kk, key_),
+        )[:, :, 0],
+        f0, amps, kern, dec_p, iters=iters, label="dsp (osc+noise)",
+    )
+    src = jnp.asarray(rng.standard_normal((B, L, 16)).astype(np.float32) * 0.3)
+    results["filter_net"] = timed_loop(
+        lambda i, c, z, f, e, s, p: decoder.apply(
+            p, z + c * 1e-20, f, e, s,
+            method=lambda m, z_, f_, e_, s_: m.filter_net(z_, f_, e_, s_),
+        ),
+        content, f0, energy, src, dec_p, iters=iters, label="filter_net",
+    )
+    total = sum(results.values())
+    print(f"{'TOTAL (sum)':24s} {total * 1000:9.3f} ms/iter "
+          f"-> RTF {audio_sec / total:.0f}x")
+
+
+if __name__ == "__main__":
+    main()

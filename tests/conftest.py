@@ -34,8 +34,10 @@ if os.path.isdir(REFERENCE) and REFERENCE not in sys.path:
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh seeded generator per test: data is deterministic regardless of
+    test selection or execution order."""
     import numpy as np
 
     return np.random.default_rng(0)
