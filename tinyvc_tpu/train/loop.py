@@ -35,11 +35,51 @@ from . import decoder_train, encoder_train
 from .teacher import CachedTeacher, make_teacher
 
 
-def _mesh_or_none():
+def _mesh_or_none(batch_size: int):
     n = len(jax.devices())
-    if n > 1:
+    if n > 1 and batch_size % n == 0:
         return make_mesh(data=n, model=1)
+    if n > 1:
+        print(
+            f"[tinyvc_tpu] batch_size {batch_size} not divisible by {n} "
+            "devices; running single-device"
+        )
     return None
+
+
+def _make_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
+    """Prefer the native C++ prefetch loader (endless shuffled stream);
+    fall back to the Python DataLoader."""
+    ds = Dataset(dataset_dir)
+    f0_len = cfg.train.chunk_length // cfg.audio.hop_size
+    try:
+        from ..data.native_loader import NativePrefetchLoader
+
+        loader = NativePrefetchLoader(
+            dataset_dir,
+            len(ds),
+            cfg.train.batch_size,
+            chunk_len=cfg.train.chunk_length,
+            f0_len=f0_len,
+            sample_rate=cfg.audio.sample_rate,
+            seed=seed,
+        )
+        steps_per_epoch = max(len(ds) // cfg.train.batch_size, 1)
+
+        def epochs_iter():
+            while True:
+                yield (loader.next() for _ in range(steps_per_epoch))
+
+        print("[tinyvc_tpu] using native prefetch loader")
+        return epochs_iter(), len(ds)
+    except Exception:
+        dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+
+        def epochs_iter():
+            while True:
+                yield iter(dl)
+
+        return epochs_iter(), len(ds)
 
 
 def train_encoder(
@@ -54,8 +94,7 @@ def train_encoder(
 ):
     """WavLM distillation + pitch training (reference `train_encoder.py:21-122`)."""
     epochs = epochs if epochs is not None else cfg.train.encoder_epochs
-    ds = Dataset(dataset_dir)
-    dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+    epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
     _, state = encoder_train.init_state(cfg, jax.random.PRNGKey(seed))
     step_fn = encoder_train.make_train_step(cfg)
 
@@ -65,7 +104,7 @@ def train_encoder(
         state = restored
         print(f"resumed encoder training at step {int(state.step)}")
 
-    mesh = _mesh_or_none()
+    mesh = _mesh_or_none(cfg.train.batch_size)
     if mesh is not None:
         state = replicate(state, mesh)
 
@@ -76,7 +115,7 @@ def train_encoder(
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     for epoch in range(epochs):
-        for batch in dl:
+        for batch in next(epochs_iter):
             wave, f0 = batch["wave"], batch["f0"]
             if noise_gen is not None:
                 wave = noise_gen.add_noise(wave)
@@ -138,8 +177,7 @@ def train_decoder(
     from .encoder_train import init_state as enc_init
 
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
-    ds = Dataset(dataset_dir)
-    dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+    epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
 
     # frozen encoder
     _, enc_state = enc_init(cfg, jax.random.PRNGKey(seed))
@@ -161,7 +199,7 @@ def train_decoder(
         print(f"resumed decoder training at step {int(state.step)} "
               "(optimizer state and join gate preserved)")
 
-    mesh = _mesh_or_none()
+    mesh = _mesh_or_none(cfg.train.batch_size)
     if mesh is not None:
         state = replicate(state, mesh)
         enc_params = replicate(enc_params, mesh)
@@ -175,7 +213,7 @@ def train_decoder(
     t0 = time.time()
     done = False
     while not done:
-        for batch in dl:
+        for batch in next(epochs_iter):
             step = int(state.step)
             if step >= max_steps:
                 done = True
