@@ -25,25 +25,35 @@ from tinyvc_tpu.ops import match_features
 
 
 def timed_loop(fn, *args, iters=20, label=""):
-    """Run `fn` iters times inside one jitted program; returns seconds/iter."""
+    """Differential in-graph timing: wall(iters+1 loop) - wall(1 loop),
+    with a forced value fetch (block_until_ready under-reports through
+    tunneled backends). Returns seconds/iter."""
 
-    @jax.jit
-    def loop(*args):
-        def body(i, carry):
-            out = fn(i, carry, *args)
-            return jnp.mean(out)
+    def make(n):
+        @jax.jit
+        def loop(*args):
+            def body(i, carry):
+                out = fn(i, carry, *args)
+                return jnp.mean(out)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    loop(*args).block_until_ready()
-    t0 = time.perf_counter()
-    loop(*args).block_until_ready()
-    total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jnp.zeros(()).block_until_ready()
-    overhead = time.perf_counter() - t0
-    dt = max(total - overhead, 1e-9) / iters
-    print(f"{label:24s} {dt * 1000:9.3f} ms/iter")
+        return loop
+
+    loop1, loopN = make(1), make(iters + 1)
+    float(loop1(*args))  # warm
+    float(loopN(*args))
+
+    def best(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = max(best(loopN) - best(loop1), 0.0) / iters
+    print(f"{label:24s} {dt * 1000:9.3f} ms/iter", flush=True)
     return dt
 
 
