@@ -58,6 +58,8 @@ class DecoderConfig:
     filter_channels: Tuple[int, ...] = (384, 192, 96, 48, 24)
     filter_factors: Tuple[int, ...] = (2, 3, 4, 4, 5)
     content_channels: int = 768
+    # 'auto': Pallas kernels on TPU backends, XLA elsewhere; 'on'/'off' force
+    use_pallas: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

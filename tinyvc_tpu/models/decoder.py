@@ -240,14 +240,31 @@ class Decoder(nn.Module):
     ) -> jnp.ndarray:
         """Additive harmonics x amplitudes, concat filtered noise -> source
         ``[B, L, H+2]``. Forced fp32 (reference `decoder.py:259-266`)."""
-        harmonics = oscillate_harmonics(
-            f0,
-            self.audio.hop_size,
-            self.audio.sample_rate,
-            self.cfg.num_harmonics,
+        use_pallas = self.cfg.use_pallas == "on" or (
+            self.cfg.use_pallas == "auto"
+            and jax.default_backend() not in ("cpu", "gpu")
         )
-        amps_w = upsample_frames_to_samples(amps.astype(jnp.float32), self.audio.hop_size)
-        harmonics = harmonics * amps_w
+        if use_pallas:
+            from ..ops.pallas.oscillator import oscillator_bank
+
+            harmonics = oscillator_bank(
+                f0.astype(jnp.float32),
+                amps.astype(jnp.float32),
+                self.audio.hop_size,
+                self.audio.sample_rate,
+                20.0,
+            )
+        else:
+            harmonics = oscillate_harmonics(
+                f0,
+                self.audio.hop_size,
+                self.audio.sample_rate,
+                self.cfg.num_harmonics,
+            )
+            amps_w = upsample_frames_to_samples(
+                amps.astype(jnp.float32), self.audio.hop_size
+            )
+            harmonics = harmonics * amps_w
         noise = oscillate_noise(
             kernel, key, self.audio.hop_size, self.audio.n_fft, angle=noise_angle
         )
