@@ -58,7 +58,13 @@ def timed_loop(fn, *args, iters=20, label=""):
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("iters", nargs="?", type=int, default=20)
+    ap.add_argument("--only", default=None, help="comma-separated stage names")
+    ns = ap.parse_args()
+    iters = ns.iters
+    only = set(ns.only.split(",")) if ns.only else None
     cfg = TinyVCConfig()
     B, L, N = 16, 240000, 2048
     F = L // 480
@@ -88,30 +94,40 @@ def main():
     audio_sec = B * L / 24000
 
     results = {}
-    results["spectrogram"] = timed_loop(
+
+    def want(name):
+        return only is None or name in only
+
+    if want("spectrogram"):
+        results["spectrogram"] = timed_loop(
         lambda i, c, w: spectrogram(w + c * 1e-20, 1920, 480),
         wave, iters=iters, label="spectrogram",
     )
-    results["energy"] = timed_loop(
+    if want("energy"):
+        results["energy"] = timed_loop(
         lambda i, c, w: estimate_energy(w + c * 1e-20),
         wave, iters=iters, label="energy",
     )
-    results["encoder"] = timed_loop(
+    if want("encoder"):
+        results["encoder"] = timed_loop(
         lambda i, c, s, p: encoder.apply(p, s + c * 1e-20, method=encoder.infer)[0],
         spec, enc_p, iters=iters, label="encoder (ssl+pitch)",
     )
-    results["knn"] = timed_loop(
+    if want("knn"):
+        results["knn"] = timed_loop(
         lambda i, c, z, t: match_features(z + c * 1e-20, t),
         content, target, iters=iters, label="knn match (N=2048)",
     )
-    results["source_net"] = timed_loop(
+    if want("source_net"):
+        results["source_net"] = timed_loop(
         lambda i, c, z, f, e, p: decoder.apply(
             p, z + c * 1e-20, f, e,
             method=lambda m, z_, f_, e_: m.source_net(z_, f_, e_),
         )[0],
         content, f0, energy, dec_p, iters=iters, label="source_net",
     )
-    results["dsp"] = timed_loop(
+    if want("dsp"):
+        results["dsp"] = timed_loop(
         lambda i, c, f, a, k_, p: decoder.apply(
             p, f, a + c * 1e-20, k_, jax.random.fold_in(key, i),
             method=lambda m, f_, a_, kk, key_: m.dsp(f_, a_, kk, key_),
@@ -119,7 +135,8 @@ def main():
         f0, amps, kern, dec_p, iters=iters, label="dsp (osc+noise)",
     )
     src = jnp.asarray(rng.standard_normal((B, L, 16)).astype(np.float32) * 0.3)
-    results["filter_net"] = timed_loop(
+    if want("filter_net"):
+        results["filter_net"] = timed_loop(
         lambda i, c, z, f, e, s, p: decoder.apply(
             p, z + c * 1e-20, f, e, s,
             method=lambda m, z_, f_, e_, s_: m.filter_net(z_, f_, e_, s_),

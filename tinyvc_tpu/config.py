@@ -43,6 +43,9 @@ class EncoderConfig:
     ssl_channels: int = 384
     ssl_dilations: Tuple[int, ...] = (1, 3, 9, 1, 1, 1)
     ssl_dim: int = 768
+    # 'float32' (parity default) or 'bfloat16' (2x MXU peak, half the HBM
+    # traffic; norms and the DSP stage stay fp32)
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +63,7 @@ class DecoderConfig:
     content_channels: int = 768
     # 'auto': Pallas kernels on TPU backends, XLA elsewhere; 'on'/'off' force
     use_pallas: str = "auto"
+    compute_dtype: str = "float32"  # see EncoderConfig.compute_dtype
 
 
 @dataclasses.dataclass(frozen=True)

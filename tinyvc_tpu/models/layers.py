@@ -35,6 +35,7 @@ class DepthwiseConv1d(nn.Module):
     features: int
     kernel_size: int = 7
     dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,20 +45,21 @@ class DepthwiseConv1d(nn.Module):
             "kernel",
             nn.initializers.lecun_normal(),
             (k, 1, self.features),
-            x.dtype,
+            jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
-        x = replicate_pad_time(x, pad, pad)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x = replicate_pad_time(x.astype(self.dtype), pad, pad)
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(self.dtype),
             window_strides=(1,),
             padding="VALID",
             rhs_dilation=(d,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.features,
+            preferred_element_type=jnp.float32,
         )
-        return y + bias
+        return (y + bias).astype(self.dtype)
 
 
 class Conv1d(nn.Module):
@@ -68,6 +70,7 @@ class Conv1d(nn.Module):
     kernel_size: int
     dilation: int = 1
     padding: str = "replicate"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -78,9 +81,10 @@ class Conv1d(nn.Module):
             "kernel",
             nn.initializers.lecun_normal(),
             (k, in_features, self.features),
-            x.dtype,
+            jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
         if self.padding == "replicate":
             x = replicate_pad_time(x, pad, pad)
             padding = "VALID"
@@ -88,28 +92,33 @@ class Conv1d(nn.Module):
             padding = [(pad, pad)]
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(self.dtype),
             window_strides=(1,),
             padding=padding,
             rhs_dilation=(d,),
             dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
         )
-        return y + bias
+        return (y + bias).astype(self.dtype)
 
 
 class ChannelLayerNorm(nn.Module):
-    """LayerNorm over channels (reference `convnext.py:7-19`, eps 1e-5)."""
+    """LayerNorm over channels (reference `convnext.py:7-19`, eps 1e-5).
+    Statistics always in fp32 for stability under bf16 compute."""
 
     eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        gamma = self.param("gamma", nn.initializers.ones, (c,), x.dtype)
-        beta = self.param("beta", nn.initializers.zeros, (c,), x.dtype)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+        return y.astype(self.dtype)
 
 
 class GRN(nn.Module):
@@ -118,15 +127,17 @@ class GRN(nn.Module):
     outputs depend on the whole window — streaming must recompute windows)."""
 
     eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        gamma = self.param("gamma", nn.initializers.zeros, (c,), x.dtype)
-        beta = self.param("beta", nn.initializers.zeros, (c,), x.dtype)
-        gx = jnp.sqrt(jnp.sum(x * x, axis=-2, keepdims=True))  # [B, 1, C]
+        gamma = self.param("gamma", nn.initializers.zeros, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(x32 * x32, axis=-2, keepdims=True))  # [B, 1, C]
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.eps)
-        return gamma * (x * nx) + beta + x
+        return (gamma * (x32 * nx) + beta + x32).astype(self.dtype)
 
 
 def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -141,16 +152,20 @@ class ConvNeXtLayer(nn.Module):
     kernel_size: int = 7
     mlp_mul: int = 2
     dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         res = x
-        x = DepthwiseConv1d(self.channels, self.kernel_size, self.dilation, name="dw")(x)
-        x = ChannelLayerNorm(name="norm")(x)
-        x = nn.Dense(self.channels * self.mlp_mul, name="pw1")(x)
+        x = DepthwiseConv1d(
+            self.channels, self.kernel_size, self.dilation, dtype=self.dtype,
+            name="dw",
+        )(x)
+        x = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.channels * self.mlp_mul, dtype=self.dtype, name="pw1")(x)
         x = exact_gelu(x)
-        x = GRN(name="grn")(x)
-        x = nn.Dense(self.channels, name="pw2")(x)
+        x = GRN(dtype=self.dtype, name="grn")(x)
+        x = nn.Dense(self.channels, dtype=self.dtype, name="pw2")(x)
         return x + res
 
 
@@ -162,24 +177,28 @@ class ConvNeXtStack(nn.Module):
     out_features: int
     dilations: Sequence[int]
     kernel_size: int = 7
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.channels, name="input_layer")(x)
-        x = ChannelLayerNorm(name="norm")(x)
+        x = nn.Dense(self.channels, dtype=self.dtype, name="input_layer")(x)
+        x = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
         for i, d in enumerate(self.dilations):
             x = ConvNeXtLayer(
-                self.channels, self.kernel_size, dilation=d, name=f"layer_{i}"
+                self.channels, self.kernel_size, dilation=d, dtype=self.dtype,
+                name=f"layer_{i}",
             )(x)
-        return nn.Dense(self.out_features, name="output_layer")(x)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="output_layer")(x)
 
 
 class FiLM(nn.Module):
     """Feature-wise linear modulation (reference `decoder.py:88-97`)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        scale = nn.Dense(c, name="to_scale")(cond)
-        shift = nn.Dense(c, name="to_shift")(cond)
+        scale = nn.Dense(c, dtype=self.dtype, name="to_scale")(cond)
+        shift = nn.Dense(c, dtype=self.dtype, name="to_shift")(cond)
         return x * scale + shift

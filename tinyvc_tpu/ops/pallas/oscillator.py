@@ -10,17 +10,18 @@ waveform-rate output — HBM traffic drops from ~6 tensors to 1.
 Implementation notes:
 - phase integration is exact cumsum done as two triangular matmuls on the
   MXU (intra-frame [480 x 480] and inter-frame [P x P]); the carry across
-  grid steps lives in SMEM scratch and is wrapped mod 1 to preserve fp32
-  precision over arbitrarily long signals (better than the reference's
-  unbounded fp32 cumsum, same audio output since only phase mod 1 matters).
-- the grid is (B, F/P) and TPU grid execution is sequential, so the carry
-  is correct; it resets at the start of every batch row.
+  grid steps lives in SMEM scratch. TPU grid execution is sequential over
+  the (B, F/P) grid, so the carry is correct; it resets per batch row.
+- every phase accumulator (frame sums, block offsets, carry) is wrapped
+  mod 1 — harmonics are integer multiples so only phase mod 1 matters —
+  keeping fp32 rounding at the 1e-4-cycle level over arbitrary lengths
+  (tighter than the unbounded fp32 cumsum the reference/XLA paths use).
 - linear interpolation follows torch align_corners=False: sample i of frame
-  p interpolates between frames (p-1, p) for the first half and (p, p+1)
-  for the second; the host pads f0/amps with edge frames so the kernel only
-  does static-stride dynamic slices.
-- output layout is [B, H+1, L] (harmonic-major: lanes carry the waveform
-  axis); the caller transposes to the model's [B, L, H+1].
+  p mixes frames (p-1, p) in its first half and (p, p+1) in its second; the
+  host passes shifted prev/cur/next copies so the kernel needs no dynamic
+  slicing (Mosaic requires 128-aligned lane-dim slices).
+- output layout is [B, H+1, L] (lanes carry the waveform axis); the caller
+  transposes to the model's [B, L, H+1].
 """
 
 from __future__ import annotations
@@ -30,22 +31,14 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _interp_weights(frame_size: int):
-    """a[i] = (i + 0.5)/frame - 0.5 in [-0.5, 0.5); torch linear interp at
-    scale factor `frame` uses (prev,cur) for a<0 and (cur,next) for a>=0."""
-    a = (np.arange(frame_size, dtype=np.float32) + 0.5) / frame_size - 0.5
-    return a
-
-
 def _osc_kernel(
-    f0_pad_ref,  # [1, F+2] edge-padded f0 (VMEM)
-    amps_pad_ref,  # [1, F+2, H1] edge-padded amps (VMEM)
-    out_ref,  # [1, H1, P*frame] output block (VMEM)
+    f0_ref,  # [1, P, 3]  (prev, cur, next) per frame
+    amps_ref,  # [1, P, 3*H1]  (prev | cur | next) blocks
+    out_ref,  # [1, H1, P, frame] output block
     carry_ref,  # SMEM [1] phase carry
     *,
     frames_per_block: int,
@@ -60,23 +53,19 @@ def _osc_kernel(
 
     @pl.when(t == 0)
     def _():
-        carry_ref[0] = 0.0
+        carry_ref[0, 0] = 0.0
 
-    base = t * P  # start frame of this block (offset into padded = base)
-    f0_prev = f0_pad_ref[0, pl.ds(base, P)]
-    f0_cur = f0_pad_ref[0, pl.ds(base + 1, P)]
-    f0_next = f0_pad_ref[0, pl.ds(base + 2, P)]
+    f0_prev = f0_ref[0, :, 0:1]  # [P, 1]
+    f0_cur = f0_ref[0, :, 1:2]
+    f0_next = f0_ref[0, :, 2:3]
 
-    # a[i] = (i + 0.5)/frame - 0.5 computed in-kernel (constants cannot be
-    # captured by a pallas kernel body)
+    # a[i] = (i + 0.5)/frame - 0.5 (torch align_corners=False coordinates)
     a = (
-        jax.lax.broadcasted_iota(jnp.float32, (1, frame_size), 1) + 0.5
+        jax.lax.broadcasted_iota(jnp.int32, (1, frame_size), 1).astype(jnp.float32)
+        + 0.5
     ) / frame_size - 0.5  # [1, frame]
 
     def interp(prev, cur, nxt):
-        prev = prev[:, None]
-        cur = cur[:, None]
-        nxt = nxt[:, None]
         lo = prev * (-a) + cur * (1.0 + a)
         hi = cur * (1.0 - a) + nxt * a
         return jnp.where(a < 0.0, lo, hi)  # [P, frame]
@@ -93,38 +82,52 @@ def _osc_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (frame_size, frame_size), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (frame_size, frame_size), 0)
     tri_inc = (row <= col).astype(jnp.float32)  # inclusive
-    intra = jnp.dot(d, tri_inc, preferred_element_type=jnp.float32)  # [P, frame]
+    # HIGHEST precision: the MXU otherwise truncates inputs to bf16, which
+    # turns the integrated frequency into an audible detune
+    intra = jnp.dot(
+        d, tri_inc,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [P, frame]
     frame_sums = intra[:, frame_size - 1 : frame_size]  # [P, 1]
-    # Only phase mod 1 matters (harmonics are integer multiples), so wrap
-    # every accumulator aggressively: frame sums are reduced mod 1 BEFORE
-    # the exclusive-cumsum matmul and the result is wrapped again. This keeps
-    # all phase terms O(1) and fp32 rounding at the 1e-6-cycle level over
-    # arbitrarily long signals (the reference's unbounded fp32 cumsum drifts).
-    fs_mod = frame_sums - jnp.floor(frame_sums)
+    fs_mod = frame_sums - jnp.floor(frame_sums)  # wrap mod 1 (see header)
     colp = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
     rowp = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-    tri_exc = (rowp < colp).astype(jnp.float32)  # exclusive
+    # offsets[p] = sum_{q < p} fs_mod[q]: strict-lower-triangular [P,P] @ [P,1]
+    tri_exc = (colp < rowp).astype(jnp.float32)
     offsets = jnp.dot(
-        fs_mod.reshape(1, P), tri_exc, preferred_element_type=jnp.float32
-    ).reshape(P, 1)
+        tri_exc, fs_mod,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [P, 1]
     offsets = offsets - jnp.floor(offsets)
-    phase = carry_ref[0] + offsets + intra  # [P, frame]
+    phase = carry_ref[0, 0] + offsets + intra  # [P, frame]
 
-    total = carry_ref[0] + offsets[P - 1, 0] + fs_mod[P - 1, 0]
-    carry_ref[0] = total - jnp.floor(total)
+    total = carry_ref[0, 0] + offsets[P - 1, 0] + fs_mod[P - 1, 0]
+    carry_ref[0, 0] = total - jnp.floor(total)
 
     two_pi = 2.0 * math.pi
-    for h in range(num_out):
+    H1 = num_out
+    for h in range(H1):
         k = float(h + 1)
         amp_s = interp(
-            amps_pad_ref[0, pl.ds(base, P), h],
-            amps_pad_ref[0, pl.ds(base + 1, P), h],
-            amps_pad_ref[0, pl.ds(base + 2, P), h],
+            amps_ref[0, :, h : h + 1],
+            amps_ref[0, :, H1 + h : H1 + h + 1],
+            amps_ref[0, :, 2 * H1 + h : 2 * H1 + h + 1],
         )
         ph = phase * k
         frac = ph - jnp.floor(ph)
         wave = jnp.sin(two_pi * frac) * uv_s * amp_s
-        out_ref[0, h, :] = wave.reshape(S)
+        out_ref[0, h] = wave  # [P, frame]
+
+
+def _xla_fallback(f0, amps, frame_size, sample_rate, min_frequency):
+    from ...dsp.interp import upsample_frames_to_samples
+    from ...models.decoder import oscillate_harmonics
+
+    H1 = amps.shape[-1]
+    harm = oscillate_harmonics(f0, frame_size, sample_rate, H1 - 1, min_frequency)
+    return harm * upsample_frames_to_samples(amps.astype(jnp.float32), frame_size)
 
 
 @functools.partial(
@@ -143,7 +146,7 @@ def oscillator_bank(
     frame_size: int = 480,
     sample_rate: int = 24000,
     min_frequency: float = 20.0,
-    frames_per_block: int = 25,
+    frames_per_block: int = 24,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """f0 [B, F], amps [B, F, H1] -> modulated harmonics [B, F*frame, H1].
@@ -153,14 +156,37 @@ def oscillator_bank(
     """
     B, F = f0.shape
     H1 = amps.shape[-1]
-    # choose a block size that divides F
-    P = frames_per_block
-    while F % P:
-        P -= 1
+    # Tiling constraints: output lane dim P*frame % 128 == 0 and sublane
+    # (frame-count) blocks P % 8 == 0; pick the largest legal P dividing F.
+    lane_step = 128 // math.gcd(frame_size, 128)  # 4 for frame 480
+    step = max(8, lane_step)
+    P = 0
+    for cand in range(min(frames_per_block, F), 0, -1):
+        if cand % step == 0 and F % cand == 0:
+            P = cand
+            break
+    if P == 0:
+        return _xla_fallback(f0, amps, frame_size, sample_rate, min_frequency)
+
     f0 = f0.astype(jnp.float32)
     amps = amps.astype(jnp.float32)
-    f0_pad = jnp.pad(f0, ((0, 0), (1, 1)), mode="edge")
-    amps_pad = jnp.pad(amps, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    # host-side shifted copies: [B, F, 3] (prev, cur, next), edge-clamped
+    f0_pcn = jnp.stack(
+        [
+            jnp.concatenate([f0[:, :1], f0[:, :-1]], axis=1),
+            f0,
+            jnp.concatenate([f0[:, 1:], f0[:, -1:]], axis=1),
+        ],
+        axis=-1,
+    )
+    amps_pcn = jnp.concatenate(
+        [
+            jnp.concatenate([amps[:, :1], amps[:, :-1]], axis=1),
+            amps,
+            jnp.concatenate([amps[:, 1:], amps[:, -1:]], axis=1),
+        ],
+        axis=-1,
+    )  # [B, F, 3*H1]
 
     kernel = functools.partial(
         _osc_kernel,
@@ -174,16 +200,19 @@ def oscillator_bank(
         kernel,
         grid=(B, F // P),
         in_specs=[
-            pl.BlockSpec((1, F + 2), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 3), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, F + 2, H1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, P, 3 * H1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, H1, P * frame_size), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+            (1, H1, P, frame_size),
+            lambda b, t: (b, 0, t, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H1, F * frame_size), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, H1, F, frame_size), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
-    )(f0_pad, amps_pad)
+    )(f0_pcn, amps_pcn)
+    out = out.reshape(B, H1, F * frame_size)
     return jnp.swapaxes(out, 1, 2)  # [B, L, H1]
