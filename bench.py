@@ -36,14 +36,26 @@ def main():
     decoder = Decoder(cfg.decoder, cfg.audio)
     k1, k2, k3 = jax.random.split(key, 3)
     F = L // cfg.audio.hop_size
-    enc_params = encoder.init(k1, jnp.zeros((1, F, cfg.audio.fft_bin)))
-    dec_params = decoder.init(
-        k2,
-        jnp.zeros((1, F, cfg.decoder.content_channels)),
-        jnp.zeros((1, F)),
-        jnp.zeros((1, L)),
-        k3,
-    )
+    # init on CPU (a tunnelled TPU would compile the whole forward just to
+    # draw parameters), then transfer
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        enc_params = encoder.init(k1, jnp.zeros((1, F, cfg.audio.fft_bin)))
+        dec_params = decoder.init(
+            k2,
+            jnp.zeros((1, F, cfg.decoder.content_channels)),
+            jnp.zeros((1, F)),
+            jnp.zeros((1, L)),
+            k3,
+        )
+    if cpu is not None:
+        enc_params = jax.device_put(enc_params, jax.devices()[0])
+        dec_params = jax.device_put(dec_params, jax.devices()[0])
 
     rng = np.random.default_rng(0)
     wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)

@@ -72,10 +72,16 @@ def main():
     encoder = Encoder(cfg.encoder)
     decoder = Decoder(cfg.decoder, cfg.audio)
     k1, k2, k3 = jax.random.split(key, 3)
-    enc_p = encoder.init(k1, jnp.zeros((1, F, 961)))
-    dec_p = decoder.init(
-        k2, jnp.zeros((1, F, 768)), jnp.zeros((1, F)), jnp.zeros((1, L)), k3
-    )
+    # init on the CPU backend: initialising on a tunnelled TPU compiles the
+    # full forward just to draw parameters
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        enc_p = encoder.init(k1, jnp.zeros((1, F, 961)))
+        dec_p = decoder.init(
+            k2, jnp.zeros((1, F, 768)), jnp.zeros((1, F)), jnp.zeros((1, L)), k3
+        )
+    enc_p = jax.device_put(enc_p, jax.devices()[0])
+    dec_p = jax.device_put(dec_p, jax.devices()[0])
     rng = np.random.default_rng(0)
     wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
     target = jnp.asarray(rng.standard_normal((B, N, 768)).astype(np.float32))

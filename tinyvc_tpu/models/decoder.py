@@ -89,6 +89,8 @@ class SourceNet(nn.Module):
 
     cfg: DecoderConfig = DecoderConfig()
     audio: AudioConfig = AudioConfig()
+    time_axis_name: str | None = None
+    time_halo: int = 0
 
     @nn.compact
     def __call__(
@@ -102,19 +104,28 @@ class SourceNet(nn.Module):
         # (reference `decoder.py:127`)
         energy_f = jnp.max(energy.reshape(B, L // frame, frame), axis=-1)
 
+        dt = jnp.dtype(self.cfg.compute_dtype)
         x = (
-            nn.Dense(self.cfg.source_channels, name="content_in")(content)
-            + nn.Dense(self.cfg.source_channels, name="energy_in")(energy_f[..., None])
-            + nn.Dense(self.cfg.source_channels, name="f0_in")(_log_f0_feature(f0))
+            nn.Dense(self.cfg.source_channels, dtype=dt, name="content_in")(content)
+            + nn.Dense(self.cfg.source_channels, dtype=dt, name="energy_in")(
+                energy_f[..., None]
+            )
+            + nn.Dense(self.cfg.source_channels, dtype=dt, name="f0_in")(
+                _log_f0_feature(f0)
+            )
         )
         for i in range(self.cfg.source_num_layers):
             x = ConvNeXtLayer(
                 self.cfg.source_channels,
                 self.cfg.source_kernel_size,
+                dtype=dt,
+                grn_time_axis=self.time_axis_name,
+                grn_time_halo=self.time_halo,
                 name=f"layer_{i}",
             )(x)
         # elu + 1 keeps both heads positive with nonvanishing gradient
-        # (reference `decoder.py:132-133`)
+        # (reference `decoder.py:132-133`). Heads in fp32: they feed the DSP.
+        x = x.astype(jnp.float32)
         amps = jax.nn.elu(nn.Dense(self.cfg.num_harmonics + 1, name="to_amps")(x)) + 1.0
         kernel = jax.nn.elu(nn.Dense(self.audio.fft_bin, name="to_kernel")(x)) + 1.0
         return amps, kernel
@@ -126,6 +137,7 @@ class Downsample(nn.Module):
 
     out_features: int
     factor: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -134,13 +146,13 @@ class Downsample(nn.Module):
         x = jnp.swapaxes(
             linear_interp_last(jnp.swapaxes(x, -1, -2), T // self.factor), -1, -2
         )
-        res = nn.Dense(self.out_features, name="down_res")(x)
+        res = nn.Dense(self.out_features, dtype=self.dtype, name="down_res")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=1, name="c1")(x)
+        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, name="c1")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=2, name="c2")(x)
+        x = Conv1d(c_in, 3, dilation=2, dtype=self.dtype, name="c2")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(self.out_features, 3, dilation=4, name="c3")(x)
+        x = Conv1d(self.out_features, 3, dilation=4, dtype=self.dtype, name="c3")(x)
         return x + res
 
 
@@ -150,6 +162,7 @@ class Upsample(nn.Module):
 
     out_features: int
     factor: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -160,19 +173,19 @@ class Upsample(nn.Module):
         )
         res = x
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=1, name="c1")(x)
+        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, name="c1")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=3, name="c2")(x)
-        x = FiLM(name="film1")(x, cond)
+        x = Conv1d(c_in, 3, dilation=3, dtype=self.dtype, name="c2")(x)
+        x = FiLM(dtype=self.dtype, name="film1")(x, cond)
         x = x + res
         res = x
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=9, name="c3")(x)
+        x = Conv1d(c_in, 3, dilation=9, dtype=self.dtype, name="c3")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=27, name="c4")(x)
-        x = FiLM(name="film2")(x, cond)
+        x = Conv1d(c_in, 3, dilation=27, dtype=self.dtype, name="c4")(x)
+        x = FiLM(dtype=self.dtype, name="film2")(x, cond)
         x = x + res
-        return nn.Dense(self.out_features, name="c5")(x)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="c5")(x)
 
 
 class FilterNet(nn.Module):
@@ -194,30 +207,31 @@ class FilterNet(nn.Module):
         """content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2] -> [B,L]."""
         channels = list(self.cfg.filter_channels)
         factors = list(self.cfg.filter_factors)
+        dt = jnp.dtype(self.cfg.compute_dtype)
 
-        x = nn.Dense(channels[0], name="content_in")(content) + nn.Dense(
-            channels[0], name="f0_in"
+        x = nn.Dense(channels[0], dtype=dt, name="content_in")(content) + nn.Dense(
+            channels[0], dtype=dt, name="f0_in"
         )(_log_f0_feature(f0))
 
         src = jnp.concatenate([source, energy[..., None]], axis=-1)
 
         # down path: stem conv at waveform rate, then 4 Downsamples
         skips = []
-        src = Conv1d(channels[-1], 3, name="down_0")(src)
+        src = Conv1d(channels[-1], 3, dtype=dt, name="down_0")(src)
         skips.append(src)
         cs = list(reversed(channels[1:]))
         ns = cs[1:] + [channels[0]]
         fs = list(reversed(factors[1:]))
         for i, (n, f) in enumerate(zip(ns, fs)):
-            src = Downsample(n, f, name=f"down_{i + 1}")(src)
+            src = Downsample(n, f, dtype=dt, name=f"down_{i + 1}")(src)
             skips.append(src)
 
         # up path
         ns_up = channels[1:] + [channels[-1]]
         for i, (n, f) in enumerate(zip(ns_up, factors)):
-            x = Upsample(n, f, name=f"up_{i}")(x, skips[len(skips) - 1 - i])
-        out = Conv1d(1, 7, name="output_layer")(x)
-        return out[..., 0]
+            x = Upsample(n, f, dtype=dt, name=f"up_{i}")(x, skips[len(skips) - 1 - i])
+        out = Conv1d(1, 7, name="output_layer")(x)  # final conv fp32
+        return out[..., 0].astype(jnp.float32)
 
 
 class Decoder(nn.Module):
@@ -225,9 +239,13 @@ class Decoder(nn.Module):
 
     cfg: DecoderConfig = DecoderConfig()
     audio: AudioConfig = AudioConfig()
+    time_axis_name: str | None = None
+    time_halo: int = 0
 
     def setup(self):
-        self.source_net = SourceNet(self.cfg, self.audio)
+        self.source_net = SourceNet(
+            self.cfg, self.audio, self.time_axis_name, self.time_halo
+        )
         self.filter_net = FilterNet(self.cfg)
 
     def dsp(

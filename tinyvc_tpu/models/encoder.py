@@ -60,6 +60,8 @@ class PitchEstimator(nn.Module):
     """Spec [B,T,961] -> 512-class pitch logits (reference `encoder.py:11-38`)."""
 
     cfg: EncoderConfig = EncoderConfig()
+    time_axis_name: str | None = None
+    time_halo: int = 0
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
@@ -67,6 +69,9 @@ class PitchEstimator(nn.Module):
             channels=self.cfg.pitch_channels,
             out_features=self.cfg.num_pitch_classes,
             dilations=(1,) * self.cfg.pitch_num_layers,
+            dtype=jnp.dtype(self.cfg.compute_dtype),
+            grn_time_axis=self.time_axis_name,
+            grn_time_halo=self.time_halo,
             name="stack",
         )(spec)
 
@@ -75,6 +80,8 @@ class SSLFeatureEstimator(nn.Module):
     """Spec [B,T,961] -> 768-dim content features (reference `encoder.py:75-97`)."""
 
     cfg: EncoderConfig = EncoderConfig()
+    time_axis_name: str | None = None
+    time_halo: int = 0
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
@@ -82,6 +89,9 @@ class SSLFeatureEstimator(nn.Module):
             channels=self.cfg.ssl_channels,
             out_features=self.cfg.ssl_dim,
             dilations=self.cfg.ssl_dilations,
+            dtype=jnp.dtype(self.cfg.compute_dtype),
+            grn_time_axis=self.time_axis_name,
+            grn_time_halo=self.time_halo,
             name="stack",
         )(spec)
 
@@ -94,10 +104,16 @@ class Encoder(nn.Module):
     """
 
     cfg: EncoderConfig = EncoderConfig()
+    time_axis_name: str | None = None
+    time_halo: int = 0
 
     def setup(self):
-        self.ssl_feature_estimator = SSLFeatureEstimator(self.cfg)
-        self.pitch_estimator = PitchEstimator(self.cfg)
+        self.ssl_feature_estimator = SSLFeatureEstimator(
+            self.cfg, self.time_axis_name, self.time_halo
+        )
+        self.pitch_estimator = PitchEstimator(
+            self.cfg, self.time_axis_name, self.time_halo
+        )
 
     def __call__(self, spec: jnp.ndarray):
         return self.ssl_feature_estimator(spec), self.pitch_estimator(spec)

@@ -124,10 +124,20 @@ class ChannelLayerNorm(nn.Module):
 class GRN(nn.Module):
     """Global response normalisation over the time axis
     (reference `convnext.py:23-34`; note: the global L2 is over *time*, so
-    outputs depend on the whole window — streaming must recompute windows)."""
+    outputs depend on the whole window — streaming must recompute windows).
+
+    ``time_axis_name``: when the time axis is sharded across devices
+    (long-utterance sequence parallelism), set this to the mesh axis name and
+    the squared-sum is ``psum``-reduced so every shard sees the *global*
+    statistic — GRN is the only op in the model with unbounded receptive
+    field, so this single collective makes time-sharding exact.
+    ``time_halo``: frames at each end of the local segment excluded from the
+    statistic (overlap-save halos must not be double-counted in the psum)."""
 
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    time_axis_name: str | None = None
+    time_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -135,7 +145,14 @@ class GRN(nn.Module):
         gamma = self.param("gamma", nn.initializers.zeros, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
         x32 = x.astype(jnp.float32)
-        gx = jnp.sqrt(jnp.sum(x32 * x32, axis=-2, keepdims=True))  # [B, 1, C]
+        if self.time_halo > 0:
+            core = x32[..., self.time_halo : x32.shape[-2] - self.time_halo, :]
+        else:
+            core = x32
+        sq = jnp.sum(core * core, axis=-2, keepdims=True)  # [B, 1, C]
+        if self.time_axis_name is not None:
+            sq = jax.lax.psum(sq, self.time_axis_name)
+        gx = jnp.sqrt(sq)
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.eps)
         return (gamma * (x32 * nx) + beta + x32).astype(self.dtype)
 
@@ -153,6 +170,8 @@ class ConvNeXtLayer(nn.Module):
     mlp_mul: int = 2
     dilation: int = 1
     dtype: jnp.dtype = jnp.float32
+    grn_time_axis: str | None = None
+    grn_time_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -164,7 +183,12 @@ class ConvNeXtLayer(nn.Module):
         x = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.channels * self.mlp_mul, dtype=self.dtype, name="pw1")(x)
         x = exact_gelu(x)
-        x = GRN(dtype=self.dtype, name="grn")(x)
+        x = GRN(
+            dtype=self.dtype,
+            time_axis_name=self.grn_time_axis,
+            time_halo=self.grn_time_halo,
+            name="grn",
+        )(x)
         x = nn.Dense(self.channels, dtype=self.dtype, name="pw2")(x)
         return x + res
 
@@ -178,6 +202,8 @@ class ConvNeXtStack(nn.Module):
     dilations: Sequence[int]
     kernel_size: int = 7
     dtype: jnp.dtype = jnp.float32
+    grn_time_axis: str | None = None
+    grn_time_halo: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -186,6 +212,8 @@ class ConvNeXtStack(nn.Module):
         for i, d in enumerate(self.dilations):
             x = ConvNeXtLayer(
                 self.channels, self.kernel_size, dilation=d, dtype=self.dtype,
+                grn_time_axis=self.grn_time_axis,
+                grn_time_halo=self.grn_time_halo,
                 name=f"layer_{i}",
             )(x)
         return nn.Dense(self.out_features, dtype=self.dtype, name="output_layer")(x)
