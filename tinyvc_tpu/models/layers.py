@@ -64,13 +64,20 @@ class DepthwiseConv1d(nn.Module):
 
 class Conv1d(nn.Module):
     """Full conv along time. ``padding='replicate'`` matches torch's
-    replicate padding_mode; ``'zeros'`` matches the torch default."""
+    replicate padding_mode; ``'zeros'`` matches the torch default.
+
+    ``impl='unfold'`` lowers the conv as k shifted views concatenated on the
+    channel axis followed by ONE [k*Cin, Cout] matmul — on TPU this lands on
+    the MXU, whereas XLA's native lowering of tiny-channel convs (the
+    waveform-rate U-Net is 17-384 channels) runs an order of magnitude below
+    peak."""
 
     features: int
     kernel_size: int
     dilation: int = 1
     padding: str = "replicate"
     dtype: jnp.dtype = jnp.float32
+    impl: str = "unfold"  # 'unfold' | 'lax'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -85,6 +92,18 @@ class Conv1d(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         x = x.astype(self.dtype)
+        if self.impl == "unfold":
+            T = x.shape[-2]
+            xp = replicate_pad_time(x, pad, pad) if self.padding == "replicate" else (
+                jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+            )
+            views = [xp[:, i * d : i * d + T, :] for i in range(k)]
+            xu = jnp.concatenate(views, axis=-1)  # [B, T, k*Cin]
+            w = kernel.reshape(k * in_features, self.features).astype(self.dtype)
+            y = jnp.einsum(
+                "btc,cf->btf", xu, w, preferred_element_type=jnp.float32
+            )
+            return (y + bias).astype(self.dtype)
         if self.padding == "replicate":
             x = replicate_pad_time(x, pad, pad)
             padding = "VALID"

@@ -44,6 +44,26 @@ def _similarities(
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def top_k_small(sims: jnp.ndarray, k: int):
+    """Top-k over the last axis by k iterated argmax passes.
+
+    ``lax.top_k`` sorts the whole axis — for the small k of kNN matching
+    (k=4) iterated max+mask is far cheaper on TPU. Ties resolve to the
+    lowest index, matching torch.topk order.
+    """
+    n = sims.shape[-1]
+    s = sims
+    vals, idxs = [], []
+    iota = jnp.arange(n)
+    for _ in range(k):
+        j = jnp.argmax(s, axis=-1)
+        v = jnp.take_along_axis(s, j[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(j)
+        s = jnp.where(iota == j[..., None], -jnp.inf, s)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def match_features(
     source: jnp.ndarray,
     reference: jnp.ndarray,
@@ -57,7 +77,10 @@ def match_features(
     blended ``result * (1 - alpha) + source * alpha``.
     """
     sims = _similarities(source, reference, metric)
-    _, idx = jax.lax.top_k(sims, k)  # [B, T, k]
+    if k <= 8:
+        _, idx = top_k_small(sims, k)  # [B, T, k]
+    else:
+        _, idx = jax.lax.top_k(sims, k)
     # gather neighbour vectors: [B, T, k, C]
     neigh = jnp.take_along_axis(reference[:, None, :, :], idx[..., None], axis=2)
     result = jnp.mean(neigh, axis=2).astype(source.dtype)
