@@ -34,17 +34,21 @@ def oscillate_harmonics(
     sample_rate: int = 24000,
     num_harmonics: int = 14,
     min_frequency: float = 20.0,
+    phase0: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
     """f0 ``[B, F]`` (frame rate) -> harmonics ``[B, F*frame_size, H+1]``.
 
     Linear-interp f0 to waveform rate, integrate phase (fp32 cumsum), emit
     ``sin(2*pi*((k * I) mod 1))`` masked by the interpolated voiced mask
-    (reference `decoder.py:24-54`).
+    (reference `decoder.py:24-54`). ``phase0`` (cycles, [B] or scalar) seeds
+    the integrator — used by time-sharded inference to keep phase continuous
+    across sequence shards.
     """
     C = num_harmonics + 1
     Lw = f0.shape[-1] * frame_size
     f0w = linear_interp_last(f0.astype(jnp.float32), Lw)  # [B, Lw]
     phase = jnp.cumsum(f0w / sample_rate, axis=-1)  # [B, Lw] fp32
+    phase = phase + jnp.reshape(jnp.asarray(phase0, jnp.float32), (-1, 1))
     k = jnp.arange(1, C + 1, dtype=jnp.float32)
     theta = 2.0 * math.pi * jnp.mod(phase[..., None] * k, 1.0)  # [B, Lw, C]
     uv = linear_interp_last((f0 > min_frequency).astype(jnp.float32), Lw)

@@ -1,0 +1,238 @@
+"""Time-sharded (sequence-parallel) long-utterance conversion.
+
+The role ring-attention/Ulysses play for attention models (SURVEY §5.7) is
+played here by overlap-save sharding along time: the utterance is split into
+equal frame segments across the mesh axis, each shard processes its segment
+plus a receptive-field halo, and three things make the result match the
+single-device pipeline:
+
+1. **GRN statistics** — the only unbounded-receptive-field op — are computed
+   over each shard's core (halo-cropped) and ``psum``-reduced to the global
+   value (`models/layers.py::GRN`).
+2. **Harmonic phase continuity**: the per-frame phase increment of the
+   (shifted) f0 track has a closed form at frame rate — ``frame_sum[p] =
+   (c_prev*f0[p-1] + c_cur*f0[p] + c_next*f0[p+1]) / sr`` with constants
+   derived from the interpolation weights — so each shard all-gathers core
+   f0, computes the global exclusive phase prefix, and seeds its oscillator
+   with the exact offset (``oscillate_harmonics(phase0=...)``).
+3. **Noise determinism**: the per-frame noise phase is drawn from the frame's
+   *global* index (vmapped fold_in), so shard boundaries don't change it.
+
+Output frames further than ``halo`` from the utterance ends are exact w.r.t.
+the single-device pipeline (fp32 tolerance); the first/last ~receptive-field
+frames see the edge-replicated halo instead of each op's own edge padding
+and may deviate there (the reference's streaming mode has the same edge
+character). The segment count must divide the frame count — bucket lengths
+to ``shards * bucket`` frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import TinyVCConfig
+from ..dsp import estimate_energy, shift_frequency, spectrogram
+from ..dsp.interp import upsample_frames_to_samples
+from ..models import Decoder, Encoder
+from ..models.decoder import oscillate_harmonics, oscillate_noise
+from ..ops import match_features
+
+
+def _frame_sum_constants(frame_size: int):
+    """Per-frame sample-sum of the linear interpolation as a 3-tap filter."""
+    a = (np.arange(frame_size) + 0.5) / frame_size - 0.5
+    neg, pos = a < 0, a >= 0
+    c_prev = float((-a[neg]).sum())
+    c_cur = float((1.0 + a[neg]).sum() + (1.0 - a[pos]).sum())
+    c_next = float(a[pos].sum())
+    return c_prev, c_cur, c_next
+
+
+def _per_frame_angles(key: jax.Array, frame_indices: jnp.ndarray, bins: int):
+    """Deterministic per-global-frame noise phase: [F, bins] in (-pi, pi)."""
+
+    def one(i):
+        return jax.random.uniform(
+            jax.random.fold_in(key, i), (bins,), minval=-np.pi, maxval=np.pi
+        )
+
+    return jax.vmap(one)(frame_indices)
+
+
+def time_sharded_convert(
+    mesh: Mesh,
+    enc_params: Dict[str, Any],
+    dec_params: Dict[str, Any],
+    wave: jnp.ndarray,
+    target: jnp.ndarray,
+    pitch_shift: jnp.ndarray,
+    key: jax.Array,
+    cfg: TinyVCConfig,
+    halo_frames: int = 96,
+    filter_halo: int = 32,
+    axis: str = "data",
+    noise_angle: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """wave [L] -> converted [L], sharded along ``axis`` of ``mesh``.
+
+    L must be a multiple of ``shards * hop``. ``noise_angle`` ([F, fft_bin])
+    overrides the per-frame noise phases (deterministic tests).
+    """
+    hop = cfg.audio.hop_size
+    S = mesh.shape[axis]
+    L = wave.shape[-1]
+    assert L % (S * hop) == 0, "bucket utterance length to shards*hop multiples"
+    F = L // hop
+    seg = F // S
+    H = halo_frames
+    M = filter_halo + 4  # source/filter margin (+4 for ISTFT overlap-add)
+    assert H >= M + 2, "halo must cover the filter margin"
+
+    encoder = Encoder(cfg.encoder, time_axis_name=axis, time_halo=H)
+    decoder = Decoder(
+        cfg.decoder, cfg.audio, time_axis_name=axis, time_halo=M
+    )
+
+    # edge-replicated halo at the waveform level
+    wave_p = jnp.concatenate(
+        [
+            jnp.broadcast_to(wave[:1], (H * hop,)),
+            wave,
+            jnp.broadcast_to(wave[-1:], (H * hop,)),
+        ]
+    )
+    win = (seg + 2 * H) * hop
+    windows = jnp.stack(
+        [
+            jax.lax.dynamic_slice(wave_p, (i * seg * hop,), (win,))
+            for i in range(S)
+        ]
+    )  # [S, win]
+
+    c_prev, c_cur, c_next = _frame_sum_constants(hop)
+    fft_bin = cfg.audio.fft_bin
+
+    def shard_fn(windows_l, target_l, angle_l):
+        # windows_l: [1, win]; target_l [N, C]; angle_l [1, seg+2M, bins] or None-like
+        i = jax.lax.axis_index(axis)
+        w = windows_l  # [1, win]
+        spec = spectrogram(w, cfg.audio.n_fft, hop)  # [1, seg+2H, 961]
+        energy = estimate_energy(w, cfg.audio.energy_frame_size)  # [1, win]
+        content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
+        matched = match_features(
+            content,
+            jnp.broadcast_to(target_l[None], (1,) + target_l.shape),
+            k=cfg.retrieval.k,
+            alpha=cfg.retrieval.alpha,
+            metric=cfg.retrieval.metric,
+        )
+        f0 = shift_frequency(f0, pitch_shift)  # [1, seg+2H]
+
+        # ---- global phase prefix from stitched core f0 ----
+        f0_core = jax.lax.dynamic_slice(f0, (0, H), (1, seg))  # [1, seg]
+        f0_all = jax.lax.all_gather(f0_core[0], axis)  # [S, seg]
+        f0_glob = f0_all.reshape(S * seg)  # [F]
+        f0_pad = jnp.concatenate([f0_glob[:1], f0_glob, f0_glob[-1:]])
+        frame_sums = (
+            c_prev * f0_pad[:-2] + c_cur * f0_pad[1:-1] + c_next * f0_pad[2:]
+        ) / cfg.audio.sample_rate  # [F]
+        # wrap mod 1 before the prefix to keep fp32 exact over long signals
+        frame_sums = jnp.mod(frame_sums, 1.0)
+        prefix = jnp.cumsum(frame_sums) - frame_sums  # exclusive
+        prefix = jnp.mod(prefix, 1.0)
+
+        # ---- source window [H-M, H+seg+M) ----
+        sw0 = H - M
+        swf = seg + 2 * M
+        content_w = jax.lax.dynamic_slice(
+            matched, (0, sw0, 0), (1, swf, matched.shape[-1])
+        )
+        f0_w = jax.lax.dynamic_slice(f0, (0, sw0), (1, swf))
+        energy_w = jax.lax.dynamic_slice(
+            energy, (0, sw0 * hop), (1, swf * hop)
+        )
+        amps, kernel = decoder.apply(
+            dec_params, content_w, f0_w, energy_w,
+            method=lambda m, c, f_, e: m.source_net(c, f_, e),
+        )
+
+        # harmonics over [sw0-1, sw0+swf+1) with the exact global phase seed:
+        # the local oscillator integrates through the margin frames
+        # [sw0-1, H), so the seed is the global prefix at the core start MINUS
+        # the local margin sums (phase at original frame i*seg must equal
+        # prefix[i*seg] mod 1)
+        f0_h = jax.lax.dynamic_slice(f0, (0, sw0 - 1), (1, swf + 2))
+        # frames the local oscillator integrates before the core: [sw0-1, H).
+        # Its first frame sees a CLAMPED prev neighbour (f0_h edge), so the
+        # subtraction mirrors that exactly.
+        margin = jax.lax.dynamic_slice(f0, (0, sw0 - 1), (1, M + 2))[0]
+        first_sum = (c_prev + c_cur) * margin[0] + c_next * margin[1]
+        rest_sums = (
+            c_prev * margin[:-2] + c_cur * margin[1:-1] + c_next * margin[2:]
+        )
+        local_sums = (
+            jnp.concatenate([first_sum[None], rest_sums]) / cfg.audio.sample_rate
+        )  # frames [sw0-1, H)
+        phase0 = jnp.mod(prefix[i * seg] - jnp.sum(jnp.mod(local_sums, 1.0)), 1.0)
+        harm = oscillate_harmonics(
+            f0_h, hop, cfg.audio.sample_rate, cfg.decoder.num_harmonics,
+            phase0=phase0,
+        )[:, hop:-hop]  # [1, swf*hop, H1]
+        amps_w = upsample_frames_to_samples(amps.astype(jnp.float32), hop)
+        harm = harm * amps_w
+
+        # noise over the same window, phases indexed by global frame
+        if angle_l is not None:
+            angle = angle_l
+        else:
+            frames_g = i * seg - M + jnp.arange(swf)
+            angle = _per_frame_angles(key, frames_g, fft_bin)[None]
+        noise = oscillate_noise(
+            kernel, key, hop, cfg.audio.n_fft, angle=angle
+        )  # [1, swf*hop]
+        source = jnp.concatenate([harm, noise[..., None]], axis=-1)
+
+        out = decoder.apply(
+            dec_params, content_w, f0_w, energy_w, source,
+            method=lambda m, c, f_, e, s: m.filter_net(c, f_, e, s),
+        )  # [1, swf*hop]
+        core = jax.lax.dynamic_slice(out, (0, M * hop), (1, seg * hop))
+        return core
+
+    if noise_angle is not None:
+        # slice per-shard angle windows on the host side of the shard_map
+        sw0s = [i * seg - M for i in range(S)]
+        pad_a = jnp.pad(noise_angle, ((M, M), (0, 0)), mode="edge")
+        angle_shards = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    pad_a, (s + M, 0), (seg + 2 * M, fft_bin)
+                )
+                for s in sw0s
+            ]
+        )  # [S, seg+2M, bins]
+        fn = shard_map(
+            lambda w, t, a: shard_fn(w, t, a),
+            mesh=mesh,
+            in_specs=(P(axis, None), P(None, None), P(axis, None, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+        cores = fn(windows, target, angle_shards)
+    else:
+        fn = shard_map(
+            lambda w, t: shard_fn(w, t, None),
+            mesh=mesh,
+            in_specs=(P(axis, None), P(None, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+        cores = fn(windows, target)
+    return cores.reshape(L)
