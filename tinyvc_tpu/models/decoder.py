@@ -45,10 +45,26 @@ def oscillate_harmonics(
     across sequence shards.
     """
     C = num_harmonics + 1
-    Lw = f0.shape[-1] * frame_size
+    B, F = f0.shape
+    Lw = F * frame_size
     f0w = linear_interp_last(f0.astype(jnp.float32), Lw)  # [B, Lw]
-    phase = jnp.cumsum(f0w / sample_rate, axis=-1)  # [B, Lw] fp32
-    phase = phase + jnp.reshape(jnp.asarray(phase0, jnp.float32), (-1, 1))
+    # Two-level mod-1 phase integration (same scheme as the Pallas kernel):
+    # intra-frame cumsum stays small, per-frame sums are wrapped mod 1 before
+    # the frame-level prefix. Only phase mod 1 matters (integer harmonics),
+    # and this keeps fp32 rounding at the ~1e-6-cycle level instead of the
+    # unbounded drift of a flat cumsum (reference `decoder.py:50` drifts) —
+    # it also makes time-sharded synthesis agree across shard counts.
+    d = (f0w / sample_rate).reshape(B, F, frame_size)
+    intra = jnp.cumsum(d, axis=-1)  # [B, F, frame]
+    frame_sums = intra[..., -1]
+    fs_mod = frame_sums - jnp.floor(frame_sums)
+    offsets = jnp.cumsum(fs_mod, axis=-1) - fs_mod  # exclusive prefix
+    offsets = offsets - jnp.floor(offsets)
+    phase = (
+        jnp.reshape(jnp.asarray(phase0, jnp.float32), (-1, 1, 1))
+        + offsets[..., None]
+        + intra
+    ).reshape(B, Lw)
     k = jnp.arange(1, C + 1, dtype=jnp.float32)
     theta = 2.0 * math.pi * jnp.mod(phase[..., None] * k, 1.0)  # [B, Lw, C]
     uv = linear_interp_last((f0 > min_frequency).astype(jnp.float32), Lw)

@@ -18,12 +18,15 @@ single-device pipeline:
 3. **Noise determinism**: the per-frame noise phase is drawn from the frame's
    *global* index (vmapped fold_in), so shard boundaries don't change it.
 
-Output frames further than ``halo`` from the utterance ends are exact w.r.t.
-the single-device pipeline (fp32 tolerance); the first/last ~receptive-field
-frames see the edge-replicated halo instead of each op's own edge padding
-and may deviate there (the reference's streaming mode has the same edge
-character). The segment count must divide the frame count — bucket lengths
-to ``shards * bucket`` frames.
+Guarantees: the output is invariant to the shard count (up to fp32
+collective-ordering noise — GRN psums and boundary phase seeds cancel
+bit-for-bit by construction) and agrees with the single-device pipeline at
+the mel level (the official parity metric). Waveform-level equality with the
+single-device pipeline is NOT a goal: the utterance's edge frames see
+replicated-halo context instead of each op's own edge padding, and the
+absolute harmonic phase depends on those edge frames (a constant,
+perceptually irrelevant offset). The segment count must divide the frame
+count — bucket lengths to ``shards * bucket`` frames.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import TinyVCConfig
 from ..dsp import estimate_energy, shift_frequency, spectrogram
-from ..dsp.interp import upsample_frames_to_samples
+from ..dsp.interp import linear_interp_last, upsample_frames_to_samples
 from ..models import Decoder, Encoder
 from ..models.decoder import oscillate_harmonics, oscillate_noise
 from ..ops import match_features
@@ -169,18 +172,22 @@ def time_sharded_convert(
         # the local margin sums (phase at original frame i*seg must equal
         # prefix[i*seg] mod 1)
         f0_h = jax.lax.dynamic_slice(f0, (0, sw0 - 1), (1, swf + 2))
-        # frames the local oscillator integrates before the core: [sw0-1, H).
-        # Its first frame sees a CLAMPED prev neighbour (f0_h edge), so the
-        # subtraction mirrors that exactly.
-        margin = jax.lax.dynamic_slice(f0, (0, sw0 - 1), (1, M + 2))[0]
-        first_sum = (c_prev + c_cur) * margin[0] + c_next * margin[1]
-        rest_sums = (
-            c_prev * margin[:-2] + c_cur * margin[1:-1] + c_next * margin[2:]
-        )
-        local_sums = (
-            jnp.concatenate([first_sum[None], rest_sums]) / cfg.audio.sample_rate
-        )  # frames [sw0-1, H)
-        phase0 = jnp.mod(prefix[i * seg] - jnp.sum(jnp.mod(local_sums, 1.0)), 1.0)
+        # Seed the oscillator so the phase at the start of the SECOND core
+        # frame equals the global prefix. The subtraction replicates the
+        # oscillator's own two-level mod-1 integration bit-for-bit over the
+        # frames it integrates before that point (f0_h frames [0, M+2) =
+        # window frames [sw0-1, H]), so the cancellation is exact in fp32 and
+        # the result is invariant to the shard count. (The first core frame's
+        # samples can deviate on edge shards: the standard pipeline clips the
+        # interpolation at the sequence edge where shards see a halo frame.)
+        margin_f0 = f0_h[:, : M + 4]
+        f0w_m = linear_interp_last(margin_f0, (M + 4) * hop)
+        d_m = (f0w_m / cfg.audio.sample_rate).reshape(1, M + 4, hop)
+        msums = jnp.cumsum(d_m, axis=-1)[..., -1]  # [1, M+4]
+        ms_mod = msums - jnp.floor(msums)
+        local_off = jnp.sum(ms_mod[0, : M + 2])
+        local_off = local_off - jnp.floor(local_off)
+        phase0 = jnp.mod(prefix[i * seg + 1] - local_off, 1.0)
         harm = oscillate_harmonics(
             f0_h, hop, cfg.audio.sample_rate, cfg.decoder.num_harmonics,
             phase0=phase0,
