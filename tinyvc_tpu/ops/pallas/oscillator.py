@@ -157,16 +157,21 @@ def oscillator_bank(
     B, F = f0.shape
     H1 = amps.shape[-1]
     # Tiling constraints: output lane dim P*frame % 128 == 0 and sublane
-    # (frame-count) blocks P % 8 == 0; pick the largest legal P dividing F.
+    # (frame-count) blocks P % 8 == 0. Pad F up to a multiple of the block
+    # so the kernel is always legal (padded frames are edge copies, cropped
+    # from the output).
     lane_step = 128 // math.gcd(frame_size, 128)  # 4 for frame 480
     step = max(8, lane_step)
-    P = 0
-    for cand in range(min(frames_per_block, F), 0, -1):
-        if cand % step == 0 and F % cand == 0:
-            P = cand
-            break
-    if P == 0:
-        return _xla_fallback(f0, amps, frame_size, sample_rate, min_frequency)
+    P = max(step, (frames_per_block // step) * step)
+    F_pad = ((F + P - 1) // P) * P
+    if F_pad != F:
+        pad = F_pad - F
+        f0 = jnp.concatenate(
+            [f0, jnp.broadcast_to(f0[:, -1:], (B, pad))], axis=1
+        )
+        amps = jnp.concatenate(
+            [amps, jnp.broadcast_to(amps[:, -1:], (B, pad, H1))], axis=1
+        )
 
     f0 = f0.astype(jnp.float32)
     amps = amps.astype(jnp.float32)
@@ -198,7 +203,7 @@ def oscillator_bank(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, F // P),
+        grid=(B, F_pad // P),
         in_specs=[
             pl.BlockSpec((1, P, 3), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -210,9 +215,9 @@ def oscillator_bank(
             lambda b, t: (b, 0, t, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H1, F, frame_size), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H1, F_pad, frame_size), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
     )(f0_pcn, amps_pcn)
-    out = out.reshape(B, H1, F * frame_size)
+    out = out[:, :, :F].reshape(B, H1, F * frame_size)
     return jnp.swapaxes(out, 1, 2)  # [B, L, H1]
