@@ -278,9 +278,16 @@ class Decoder(nn.Module):
     ) -> jnp.ndarray:
         """Additive harmonics x amplitudes, concat filtered noise -> source
         ``[B, L, H+2]``. Forced fp32 (reference `decoder.py:259-266`)."""
+        # Pallas TPU kernels can't lower for CPU/GPU; respect both the global
+        # backend and an active jax.default_device(cpu) override (used to
+        # draw parameters on host when the TPU sits behind a slow tunnel).
+        default_dev = getattr(jax.config, "jax_default_device", None)
+        on_cpu = (
+            jax.default_backend() in ("cpu", "gpu")
+            or (default_dev is not None and default_dev.platform in ("cpu", "gpu"))
+        )
         use_pallas = self.cfg.use_pallas == "on" or (
-            self.cfg.use_pallas == "auto"
-            and jax.default_backend() not in ("cpu", "gpu")
+            self.cfg.use_pallas == "auto" and not on_cpu
         )
         if use_pallas:
             from ..ops.pallas.oscillator import oscillator_bank
