@@ -1,0 +1,77 @@
+"""End-to-end CLI tests: batch conversion from REFERENCE .pt checkpoints
+(the migration path a reference user takes), and streaming file mode."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def pt_checkpoints(tmp_path):
+    """Reference-format state_dicts saved by torch (as a reference user has)."""
+    sys.path.append("/root/reference")
+    from module.tinyvc import Decoder as RefDecoder
+    from module.tinyvc import Encoder as RefEncoder
+
+    torch.manual_seed(11)
+    enc, dec = RefEncoder(), RefDecoder()
+    enc_path = tmp_path / "encoder.pt"
+    dec_path = tmp_path / "decoder.pt"
+    torch.save(enc.state_dict(), enc_path)
+    torch.save(dec.state_dict(), dec_path)
+    return enc_path, dec_path
+
+
+def test_infer_cli_with_reference_checkpoints(pt_checkpoints, tmp_path, rng):
+    from tinyvc_tpu.cli.infer import main
+    from tinyvc_tpu.utils.audio_io import load_audio, save_wav
+
+    enc_path, dec_path = pt_checkpoints
+    inputs = tmp_path / "inputs"
+    outputs = tmp_path / "outputs"
+    inputs.mkdir()
+    t = np.arange(24000) / 24000
+    save_wav(str(inputs / "a.wav"), np.sin(2 * np.pi * 220 * t) * 0.4, 24000)
+    save_wav(str(tmp_path / "target.wav"), np.sin(2 * np.pi * 150 * t) * 0.4, 24000)
+
+    main(
+        [
+            "-i", str(inputs), "-o", str(outputs),
+            "-encp", str(enc_path), "-decp", str(dec_path),
+            "-t", str(tmp_path / "target.wav"), "-p", "2.0",
+        ]
+    )
+    out, sr = load_audio(str(outputs / "a.wav"))
+    assert sr == 24000
+    assert out.shape[1] == 24000
+    assert np.isfinite(out).all() and np.abs(out).max() > 0
+
+
+def test_streaming_cli_file_mode(pt_checkpoints, tmp_path, rng):
+    from tinyvc_tpu.cli.infer_streaming import main
+    from tinyvc_tpu.utils.audio_io import load_audio, save_wav
+
+    enc_path, dec_path = pt_checkpoints
+    t = np.arange(24000) / 24000
+    save_wav(str(tmp_path / "in.wav"), np.sin(2 * np.pi * 220 * t) * 0.4, 24000)
+    save_wav(str(tmp_path / "target.wav"), np.sin(2 * np.pi * 150 * t) * 0.4, 24000)
+
+    main(
+        [
+            "-encp", str(enc_path), "-decp", str(dec_path),
+            "-t", str(tmp_path / "target.wav"),
+            "--wav-in", str(tmp_path / "in.wav"),
+            "--wav-out", str(tmp_path / "out.wav"),
+        ]
+    )
+    out, sr = load_audio(str(tmp_path / "out.wav"))
+    assert sr == 24000
+    # 24000 samples = 12 full blocks of 1920
+    assert out.shape[1] == 12 * 1920
+    assert np.isfinite(out).all()

@@ -70,18 +70,18 @@ class Conv1d(nn.Module):
     channel axis followed by ONE [k*Cin, Cout] matmul — on TPU this lands on
     the MXU, whereas XLA's native lowering of tiny-channel convs (the
     waveform-rate U-Net is 17-384 channels) runs an order of magnitude below
-    peak. For dilated convs (``impl='auto'``, the default) the time axis is
-    additionally reshaped into phase blocks of ``dilation`` samples and the
-    matmul uses block-diagonal phase weights [k*d*Cin, d*Cout]: the MXU
-    contraction/output dims grow by d, trading d-fold structural zeros for
-    an order-of-magnitude utilisation win on small channel counts."""
+    peak. ``impl='phased'`` reshapes the time axis into phase blocks of
+    ``dilation`` samples with block-diagonal weights [k*d*Cin, d*Cout] —
+    wider MXU dims at the cost of d-fold structural zeros; measured SLOWER
+    than 'unfold' on v5e for this model's shapes (187 vs 88 ms for the full
+    U-Net), kept as an option for wider-channel configs."""
 
     features: int
     kernel_size: int
     dilation: int = 1
     padding: str = "replicate"
     dtype: jnp.dtype = jnp.float32
-    impl: str = "auto"  # 'auto' | 'unfold' | 'lax'
+    impl: str = "unfold"  # 'unfold' | 'phased' | 'lax' | 'auto'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
