@@ -60,3 +60,37 @@ def upsample_frames_to_samples(x: jnp.ndarray, frame_size: int) -> jnp.ndarray:
     the reference's channel-first layout (`module/tinyvc/decoder.py:262`).
     """
     return linear_interp_time(x, x.shape[-2] * frame_size)
+
+
+def upsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Gather-free integer-factor linear upsampling of ``[B, T, C]``.
+
+    Exactly ``F.interpolate(scale_factor=factor, mode='linear',
+    align_corners=False)``: output j of block t blends frames (t-1, t) in the
+    first half-step region and (t, t+1) after, edge-clamped — expressed as
+    shifted views + broadcast weights (fuses on the VPU; no gather, no
+    transpose)."""
+    B, T, C = x.shape
+    a = (jnp.arange(factor, dtype=x.dtype) + 0.5) / factor - 0.5  # [f]
+    prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    a_ = a[None, None, :, None]
+    lo = prev[:, :, None, :] * (-a_) + x[:, :, None, :] * (1.0 + a_)
+    hi = x[:, :, None, :] * (1.0 - a_) + nxt[:, :, None, :] * a_
+    out = jnp.where(a_ < 0.0, lo, hi)  # [B, T, f, C]
+    return out.reshape(B, T * factor, C)
+
+
+def downsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Gather-free integer-factor linear downsampling of ``[B, T, C]``.
+
+    Exactly ``F.interpolate(scale_factor=1/factor, mode='linear',
+    align_corners=False)``: the source position of output i is
+    ``i*factor + (factor-1)/2`` — one column (odd factor) or the mean of two
+    adjacent columns (even factor) of the ``[T/f, f]`` block view."""
+    B, T, C = x.shape
+    blocks = x.reshape(B, T // factor, factor, C)
+    if factor % 2 == 1:
+        return blocks[:, :, (factor - 1) // 2, :]
+    h = factor // 2
+    return 0.5 * (blocks[:, :, h - 1, :] + blocks[:, :, h, :])

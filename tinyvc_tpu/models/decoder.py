@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import AudioConfig, DecoderConfig
-from ..dsp.interp import linear_interp_last, upsample_frames_to_samples
+from ..dsp.interp import (
+    downsample_time_int,
+    linear_interp_last,
+    upsample_frames_to_samples,
+    upsample_time_int,
+)
 from ..dsp.stft import istft
 from .layers import Conv1d, ConvNeXtLayer, FiLM
 
@@ -162,10 +167,7 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
-        T = x.shape[-2]
-        x = jnp.swapaxes(
-            linear_interp_last(jnp.swapaxes(x, -1, -2), T // self.factor), -1, -2
-        )
+        x = downsample_time_int(x, self.factor)
         res = nn.Dense(self.out_features, dtype=self.dtype, name="down_res")(x)
         x = nn.leaky_relu(x, 0.1)
         x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, name="c1")(x)
@@ -187,10 +189,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
-        T = x.shape[-2]
-        x = jnp.swapaxes(
-            linear_interp_last(jnp.swapaxes(x, -1, -2), T * self.factor), -1, -2
-        )
+        x = upsample_time_int(x, self.factor)
         res = x
         x = nn.leaky_relu(x, 0.1)
         x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, name="c1")(x)
