@@ -128,3 +128,9 @@ def test_voice_converter_host_api(rng):
     out = vc.convert(wave, tgt, pitch_shift=0.0)
     assert out.shape == wave.shape
     assert np.isfinite(out).all()
+
+    # one-octave shift (BASELINE config 4: -p 12); pitch_shift is traced, so
+    # this reuses the compiled program
+    out12 = vc.convert(wave, tgt, pitch_shift=12.0)
+    assert out12.shape == wave.shape and np.isfinite(out12).all()
+    assert np.abs(out12 - out).max() > 0  # the shift actually does something

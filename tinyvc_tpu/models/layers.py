@@ -105,6 +105,23 @@ class Conv1d(nn.Module):
             )
         if impl == "phased":
             return self._phased(x, kernel, bias, k, d)
+        if impl == "taps":
+            # k separate matmuls on shifted views, summed — no concat
+            # materialisation, narrower contraction dim
+            T = x.shape[-2]
+            xp = replicate_pad_time(x, pad, pad) if self.padding == "replicate" else (
+                jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+            )
+            y = None
+            for i in range(k):
+                yi = jnp.einsum(
+                    "btc,cf->btf",
+                    xp[:, i * d : i * d + T, :],
+                    kernel[i].astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                y = yi if y is None else y + yi
+            return (y + bias).astype(self.dtype)
         if impl == "unfold":
             T = x.shape[-2]
             xp = replicate_pad_time(x, pad, pad) if self.padding == "replicate" else (
