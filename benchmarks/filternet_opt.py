@@ -50,8 +50,11 @@ def main():
     src = jnp.asarray(rng.standard_normal((B, L, 16)).astype(np.float32) * 0.3)
     cpu = jax.local_devices(backend="cpu")[0]
 
-    for label, dtype in [("fp32", "float32"), ("bf16", "bfloat16")]:
-        cfg = DecoderConfig(compute_dtype=dtype)
+    for label, dtype, impl in [
+        ("unfold/fp32", "float32", "unfold"),
+        ("taps/fp32", "float32", "taps"),
+    ]:
+        cfg = DecoderConfig(compute_dtype=dtype, conv_impl=impl)
         net = FilterNet(cfg)
         with jax.default_device(cpu):
             params = net.init(
@@ -79,7 +82,7 @@ def main():
         dt = timed(make_loop, (params, content, f0, energy, src), iters)
         audio = B * L / 24000
         print(
-            f"filter_net unfold/{label}: {dt * 1000:8.2f} ms/iter "
+            f"filter_net {label}: {dt * 1000:8.2f} ms/iter "
             f"(RTF {audio / dt:.0f}x)",
             flush=True,
         )

@@ -64,6 +64,9 @@ class DecoderConfig:
     # 'auto': Pallas kernels on TPU backends, XLA elsewhere; 'on'/'off' force
     use_pallas: str = "auto"
     compute_dtype: str = "float32"  # see EncoderConfig.compute_dtype
+    # conv lowering for the U-Net: 'unfold' (k shifted views + one matmul,
+    # fastest measured), 'taps', 'phased', 'lax'
+    conv_impl: str = "unfold"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -163,18 +163,22 @@ class Downsample(nn.Module):
     out_features: int
     factor: int = 4
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "unfold"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
         x = downsample_time_int(x, self.factor)
         res = nn.Dense(self.out_features, dtype=self.dtype, name="down_res")(x)
+        im = self.conv_impl
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, name="c1")(x)
+        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, impl=im, name="c1")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=2, dtype=self.dtype, name="c2")(x)
+        x = Conv1d(c_in, 3, dilation=2, dtype=self.dtype, impl=im, name="c2")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(self.out_features, 3, dilation=4, dtype=self.dtype, name="c3")(x)
+        x = Conv1d(
+            self.out_features, 3, dilation=4, dtype=self.dtype, impl=im, name="c3"
+        )(x)
         return x + res
 
 
@@ -185,23 +189,25 @@ class Upsample(nn.Module):
     out_features: int
     factor: int = 4
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "unfold"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
+        im = self.conv_impl
         x = upsample_time_int(x, self.factor)
         res = x
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, name="c1")(x)
+        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, impl=im, name="c1")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=3, dtype=self.dtype, name="c2")(x)
+        x = Conv1d(c_in, 3, dilation=3, dtype=self.dtype, impl=im, name="c2")(x)
         x = FiLM(dtype=self.dtype, name="film1")(x, cond)
         x = x + res
         res = x
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=9, dtype=self.dtype, name="c3")(x)
+        x = Conv1d(c_in, 3, dilation=9, dtype=self.dtype, impl=im, name="c3")(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=27, dtype=self.dtype, name="c4")(x)
+        x = Conv1d(c_in, 3, dilation=27, dtype=self.dtype, impl=im, name="c4")(x)
         x = FiLM(dtype=self.dtype, name="film2")(x, cond)
         x = x + res
         return nn.Dense(self.out_features, dtype=self.dtype, name="c5")(x)
@@ -235,20 +241,23 @@ class FilterNet(nn.Module):
         src = jnp.concatenate([source, energy[..., None]], axis=-1)
 
         # down path: stem conv at waveform rate, then 4 Downsamples
+        im = self.cfg.conv_impl
         skips = []
-        src = Conv1d(channels[-1], 3, dtype=dt, name="down_0")(src)
+        src = Conv1d(channels[-1], 3, dtype=dt, impl=im, name="down_0")(src)
         skips.append(src)
         cs = list(reversed(channels[1:]))
         ns = cs[1:] + [channels[0]]
         fs = list(reversed(factors[1:]))
         for i, (n, f) in enumerate(zip(ns, fs)):
-            src = Downsample(n, f, dtype=dt, name=f"down_{i + 1}")(src)
+            src = Downsample(n, f, dtype=dt, conv_impl=im, name=f"down_{i + 1}")(src)
             skips.append(src)
 
         # up path
         ns_up = channels[1:] + [channels[-1]]
         for i, (n, f) in enumerate(zip(ns_up, factors)):
-            x = Upsample(n, f, dtype=dt, name=f"up_{i}")(x, skips[len(skips) - 1 - i])
+            x = Upsample(
+                n, f, dtype=dt, conv_impl=im, name=f"up_{i}"
+            )(x, skips[len(skips) - 1 - i])
         out = Conv1d(1, 7, name="output_layer")(x)  # final conv fp32
         return out[..., 0].astype(jnp.float32)
 
