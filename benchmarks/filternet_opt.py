@@ -52,7 +52,7 @@ def main():
 
     for label, dtype, impl in [
         ("unfold/fp32", "float32", "unfold"),
-        ("taps/fp32", "float32", "taps"),
+        ("unfold/bf16", "bfloat16", "unfold"),
     ]:
         cfg = DecoderConfig(compute_dtype=dtype, conv_impl=impl)
         net = FilterNet(cfg)
