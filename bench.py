@@ -20,11 +20,15 @@ import numpy as np
 
 
 def main():
-    from tinyvc_tpu.config import TinyVCConfig
+    import sys
+
+    from tinyvc_tpu.config import TinyVCConfig, serving_config
     from tinyvc_tpu.infer.generator import convert_fn
     from tinyvc_tpu.models import Decoder, Encoder
 
-    cfg = TinyVCConfig()
+    # serving profile (encoder fp32 + vocoder bf16; mel-parity bound enforced
+    # by tests/test_mixed_precision.py). Pass --fp32 for the strict profile.
+    cfg = TinyVCConfig() if "--fp32" in sys.argv else serving_config()
     B = 16
     SECONDS = 10.0
     L = int(SECONDS * cfg.audio.sample_rate)  # 10 s per utterance

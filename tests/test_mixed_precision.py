@@ -1,0 +1,71 @@
+"""Mixed-precision serving profile: mel-level parity bound vs the reference.
+
+The serving config runs the vocoder's conv stacks in bf16 (encoder and
+retrieval stay fp32 — bf16 content features flip kNN neighbours). This test
+enforces the documented bound: mel deviation within 3x the fp32 baseline
+and below an absolute ceiling.
+"""
+
+import math
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from module.tinyvc import Decoder as RefDecoder
+from module.tinyvc import Encoder as RefEncoder
+
+from tests.test_pipeline import _ref_convert
+from tinyvc_tpu.config import TinyVCConfig, serving_config
+from tinyvc_tpu.dsp import log_mel_spectrogram
+from tinyvc_tpu.infer.generator import convert_fn
+from tinyvc_tpu.models import Decoder, Encoder
+from tinyvc_tpu.utils.torch_compat import (
+    decoder_params_from_torch,
+    encoder_params_from_torch,
+)
+
+
+def _run(cfg, ref_enc, ref_dec, wave, tgt, angle):
+    encoder = Encoder(cfg.encoder)
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    enc_p = {"params": encoder_params_from_torch(ref_enc.state_dict())}
+    dec_p = {"params": decoder_params_from_torch(ref_dec.state_dict())}
+    out = convert_fn(
+        encoder, decoder, enc_p, dec_p, jnp.asarray(wave),
+        jnp.asarray(np.transpose(tgt, (0, 2, 1))), jnp.float32(2.0),
+        jax.random.PRNGKey(0), cfg,
+        noise_angle=jnp.asarray(np.transpose(angle, (0, 2, 1))),
+    )
+    return np.asarray(out)
+
+
+def test_serving_profile_mel_parity(rng):
+    torch.manual_seed(3)
+    ref_enc = RefEncoder().eval()
+    ref_dec = RefDecoder().eval()
+    B, L, N = 1, 48000, 512
+    F = L // 480
+    wave = (rng.standard_normal((B, L)) * 0.1).astype(np.float32)
+    tgt = rng.standard_normal((1, 768, N)).astype(np.float32)
+    angle = rng.uniform(-math.pi, math.pi, (B, 961, F)).astype(np.float32)
+
+    ref_out = _ref_convert(
+        ref_enc, ref_dec, torch.from_numpy(wave), torch.from_numpy(tgt),
+        2.0, torch.from_numpy(angle),
+    ).numpy()
+    mel_ref = np.asarray(log_mel_spectrogram(jnp.asarray(ref_out)))
+
+    out_fp32 = _run(TinyVCConfig(), ref_enc, ref_dec, wave, tgt, angle)
+    out_serv = _run(serving_config(), ref_enc, ref_dec, wave, tgt, angle)
+
+    l1_fp32 = np.abs(
+        np.asarray(log_mel_spectrogram(jnp.asarray(out_fp32))) - mel_ref
+    ).mean()
+    l1_serv = np.abs(
+        np.asarray(log_mel_spectrogram(jnp.asarray(out_serv))) - mel_ref
+    ).mean()
+    assert l1_serv < max(3.0 * l1_fp32, 1e-3), (l1_serv, l1_fp32)
+    assert l1_serv < 0.03, l1_serv
