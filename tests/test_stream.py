@@ -131,3 +131,50 @@ def test_stream_converter_runs_and_is_continuous(rng):
         assert np.isfinite(out).all()
         outs.append(out)
     assert sc.latency_samples > 0
+
+
+def test_stream_converter_sharded_knn_matches_dense(rng):
+    """Streaming with the kNN dictionary sharded over the 'model' axis
+    (BASELINE config 5) must produce the same blocks as the dense path."""
+    import dataclasses
+
+    import jax
+
+    from tests.test_training import small_config
+    from tinyvc_tpu.infer.stream import StreamConverter
+    from tinyvc_tpu.models import Decoder, Encoder
+    from tinyvc_tpu.parallel import make_mesh
+
+    cfg = small_config()
+    scfg = StreamConfig(
+        block_size=480, extra_size=960, sola_search_size=480,
+        crossfade_size=480, last_delay_size=960,
+    )
+    cfg = dataclasses.replace(cfg, stream=scfg)
+
+    enc = Encoder(cfg.encoder)
+    dec = Decoder(cfg.decoder, cfg.audio)
+    F = scfg.input_size // cfg.audio.hop_size
+    L = F * cfg.audio.hop_size
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    enc_p = enc.init(k1, jnp.zeros((1, F, cfg.audio.fft_bin)))
+    dec_p = dec.init(
+        k2,
+        jnp.zeros((1, F, cfg.decoder.content_channels)),
+        jnp.zeros((1, F)),
+        jnp.zeros((1, L)),
+        k3,
+    )
+    target = rng.standard_normal((67, cfg.encoder.ssl_dim)).astype(np.float32)
+
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    dense = StreamConverter(enc_p, dec_p, target, cfg, key=jax.random.PRNGKey(5))
+    with jax.set_mesh(mesh):
+        shard = StreamConverter(
+            enc_p, dec_p, target, cfg, key=jax.random.PRNGKey(5), mesh=mesh
+        )
+        for i in range(3):
+            block = (rng.standard_normal(480) * 0.1).astype(np.float32)
+            a = dense.process_block(block)
+            b = shard.process_block(block)
+            np.testing.assert_allclose(a, b, atol=2e-4)

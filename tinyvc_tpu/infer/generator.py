@@ -84,6 +84,44 @@ def convert_fn(
     )
 
 
+def convert_fn_sharded(
+    encoder: Encoder,
+    decoder: Decoder,
+    enc_params: Dict[str, Any],
+    dec_params: Dict[str, Any],
+    wave: jnp.ndarray,
+    dictionary: jnp.ndarray,
+    mask: jnp.ndarray,
+    pitch_shift: jnp.ndarray,
+    key: jax.Array,
+    cfg: TinyVCConfig,
+    mesh,
+) -> jnp.ndarray:
+    """Like :func:`convert_fn` but with the kNN dictionary sharded over the
+    mesh's 'model' axis (local top-k + all-gather + re-top-k; see
+    `tinyvc_tpu.parallel.sharded_knn`). ``dictionary`` must be pre-padded to
+    a multiple of the axis size with ``pad_dictionary``."""
+    from ..parallel.sharded_knn import sharded_match_features
+
+    wave = autopad_waveform(wave, cfg.audio.hop_size)
+    spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
+    energy = estimate_energy(wave, cfg.audio.energy_frame_size)
+    content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
+    matched = sharded_match_features(
+        mesh,
+        content,
+        dictionary,
+        mask,
+        k=cfg.retrieval.k,
+        alpha=cfg.retrieval.alpha,
+        metric=cfg.retrieval.metric,
+    )
+    f0 = shift_frequency(f0, pitch_shift)
+    return decoder.apply(
+        dec_params, matched, f0, energy, key, method=decoder.infer
+    )
+
+
 class VoiceConverter:
     """Stateful convenience wrapper: holds params, jits per bucketed shape.
 

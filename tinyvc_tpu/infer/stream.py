@@ -84,9 +84,15 @@ def make_stream_step(
     encoder,
     decoder,
     cfg: TinyVCConfig,
+    mesh=None,
 ):
     """Build the jitted per-block function:
     (enc_p, dec_p, state, block, target, pitch_shift) -> (state, out_block).
+
+    With ``mesh`` given, ``target`` is ``(dictionary, mask)`` with the
+    dictionary sharded along the mesh's 'model' axis (BASELINE config 5:
+    streaming with the kNN index sharded across chips/hosts — the per-frame
+    candidate all-gather rides ICI inside the per-block program).
     """
     scfg = cfg.stream
     block = scfg.block_size
@@ -101,17 +107,26 @@ def make_stream_step(
         dec_p: Dict[str, Any],
         state: StreamState,
         block_in: jnp.ndarray,
-        target: jnp.ndarray,
+        target,
         pitch_shift: jnp.ndarray,
     ) -> Tuple[StreamState, jnp.ndarray]:
         key, subkey = jax.random.split(state.key)
         input_wav = jnp.roll(state.input_wav, -block)
         input_wav = input_wav.at[-block:].set(block_in)
 
-        y = convert_fn(
-            encoder, decoder, enc_p, dec_p, input_wav[None], target,
-            pitch_shift, subkey, cfg,
-        )[0]
+        if mesh is not None:
+            from .generator import convert_fn_sharded
+
+            dictionary, mask = target
+            y = convert_fn_sharded(
+                encoder, decoder, enc_p, dec_p, input_wav[None], dictionary,
+                mask, pitch_shift, subkey, cfg, mesh,
+            )[0]
+        else:
+            y = convert_fn(
+                encoder, decoder, enc_p, dec_p, input_wav[None], target,
+                pitch_shift, subkey, cfg,
+            )[0]
 
         # SOLA alignment (reference `stream.py:75-80`)
         total = block + crossfade + search
@@ -161,6 +176,7 @@ class StreamConverter:
         cfg: TinyVCConfig | None = None,
         pitch_shift: float = 0.0,
         key: Optional[jax.Array] = None,
+        mesh=None,
     ):
         from ..models import Decoder, Encoder
 
@@ -169,9 +185,17 @@ class StreamConverter:
         self.decoder = Decoder(self.cfg.decoder, self.cfg.audio)
         self.enc_params = enc_params
         self.dec_params = dec_params
-        self.target = jnp.asarray(target)
+        if mesh is not None:
+            from ..parallel.sharded_knn import pad_dictionary
+
+            padded, mask = pad_dictionary(
+                jnp.asarray(target), mesh.shape["model"]
+            )
+            self.target = (padded, mask)
+        else:
+            self.target = jnp.asarray(target)
         self.pitch_shift = jnp.float32(pitch_shift)
-        self._step = make_stream_step(self.encoder, self.decoder, self.cfg)
+        self._step = make_stream_step(self.encoder, self.decoder, self.cfg, mesh)
         self.state = StreamState.init(self.cfg.stream, key)
 
     def reset(self):
