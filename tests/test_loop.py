@@ -56,6 +56,40 @@ def test_train_encoder_loop_runs(tiny_cache, tmp_path):
     assert int(state2.step) == 4
 
 
+def test_train_encoder_cached_teacher(tiny_cache, tmp_path, rng, monkeypatch):
+    """Precomputed {idx}.teacher.npy features drive distillation (the
+    zero-egress alternative to a live WavLM teacher)."""
+    import dataclasses
+
+    import numpy as np
+
+    from tests.test_training import small_config
+    from tinyvc_tpu.train.loop import train_encoder
+
+    cfg = small_config()
+    F = 10
+    for i in range(4):
+        np.save(
+            tiny_cache / f"{i}.teacher.npy",
+            rng.standard_normal((F, cfg.encoder.ssl_dim)).astype(np.float32),
+        )
+    monkeypatch.setenv("TINYVC_NO_NATIVE_LOADER", "1")
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, log_interval=1, save_interval=1000
+        ),
+    )
+    state = train_encoder(
+        cfg,
+        dataset_dir=str(tiny_cache),
+        ckpt_dir=str(tmp_path / "enc_ct"),
+        log_dir=str(tmp_path / "logs"),
+        epochs=1,
+    )
+    assert int(state.step) == 2
+
+
 def test_train_decoder_loop_runs(tiny_cache, tmp_path):
     import dataclasses
 

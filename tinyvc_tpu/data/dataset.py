@@ -95,6 +95,7 @@ class DataLoader:
                     {
                         "wave": np.stack(waves),
                         "f0": np.stack(f0s),
+                        "idx": np.asarray(idx, dtype=np.int64),
                     }
                 )
 

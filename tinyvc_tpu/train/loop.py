@@ -49,9 +49,21 @@ def _mesh_or_none(batch_size: int):
 
 def _make_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
     """Prefer the native C++ prefetch loader (endless shuffled stream);
-    fall back to the Python DataLoader."""
+    fall back to the Python DataLoader. Set TINYVC_NO_NATIVE_LOADER=1 to
+    force the Python loader (needed for index-aware batching, e.g. cached
+    teacher features)."""
+    import os as _os
+
     ds = Dataset(dataset_dir)
     f0_len = cfg.train.chunk_length // cfg.audio.hop_size
+    if _os.environ.get("TINYVC_NO_NATIVE_LOADER"):
+        dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+
+        def epochs_iter_py():
+            while True:
+                yield iter(dl)
+
+        return epochs_iter_py(), len(ds)
     try:
         from ..data.native_loader import NativePrefetchLoader
 
@@ -120,10 +132,13 @@ def train_encoder(
             if noise_gen is not None:
                 wave = noise_gen.add_noise(wave)
             if isinstance(teacher, CachedTeacher):
-                raise NotImplementedError(
-                    "cached teacher requires index-aware batching; "
-                    "precompute with matching order or use live WavLM"
-                )
+                if "idx" not in batch:
+                    raise RuntimeError(
+                        "cached teacher features need the index-aware Python "
+                        "DataLoader (the native prefetch loader does not "
+                        "report indices); set TINYVC_NO_NATIVE_LOADER=1"
+                    )
+                tfeat = teacher.for_indices(batch["idx"])
             elif teacher is not None:
                 wave16 = np.asarray(
                     resample(jnp.asarray(wave), cfg.audio.sample_rate, 16000)
