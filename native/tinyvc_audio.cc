@@ -205,6 +205,11 @@ struct Loader {
   std::queue<Batch*> ready;
   size_t max_ready = 4;
   std::atomic<bool> stop{false};
+  // decode failures (unopenable / corrupt wav or f0.npy). Failed slots are
+  // zero-filled so batch shapes stay static, but the count is exposed via
+  // tvc_loader_error_count so callers can detect a rotten dataset cache
+  // instead of silently training on silence.
+  std::atomic<long> errors{0};
   std::vector<std::thread> threads;
 
   bool next_indices(std::vector<int>* idx) {
@@ -250,6 +255,8 @@ struct Loader {
           size_t n = std::min<size_t>(res.size(), chunk_len);
           std::memcpy(&b->wave[static_cast<size_t>(i) * chunk_len], res.data(),
                       n * sizeof(float));
+        } else {
+          errors.fetch_add(1);
         }
         std::snprintf(path, sizeof(path), "%s/%d.f0.npy", dir.c_str(), idx[i]);
         std::vector<float> f0;
@@ -257,6 +264,8 @@ struct Loader {
           size_t n = std::min<size_t>(f0.size(), f0_len);
           std::memcpy(&b->f0[static_cast<size_t>(i) * f0_len], f0.data(),
                       n * sizeof(float));
+        } else {
+          errors.fetch_add(1);
         }
       }
       std::unique_lock<std::mutex> lock(mu);
@@ -371,6 +380,13 @@ int tvc_loader_next(void* handle, float* wave, float* f0) {
   std::memcpy(f0, b->f0.data(), b->f0.size() * sizeof(float));
   delete b;
   return 0;
+}
+
+// Cumulative decode-failure count (wav + f0 files that failed to open or
+// parse and were zero-filled). Callers should treat nonzero as a corrupt
+// dataset cache.
+long tvc_loader_error_count(void* handle) {
+  return static_cast<Loader*>(handle)->errors.load();
 }
 
 void tvc_loader_destroy(void* handle) {

@@ -32,6 +32,25 @@ def test_sharded_knn_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), atol=1e-5)
 
 
+def test_sharded_knn_small_dictionary(rng):
+    """Dictionaries smaller than k rows/shard must still work: pad_dictionary
+    guarantees >= k rows per shard and N < k raises (ADVICE round 1)."""
+    import pytest
+
+    mesh = make_mesh(data=1, model=8)
+    B, T, N, C = 1, 8, 6, 32  # 6 rows over 8 shards, k=4
+    src = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    dictionary = jnp.asarray(rng.standard_normal((N, C)).astype(np.float32))
+    dense = match_features(src, jnp.broadcast_to(dictionary[None], (B, N, C)), k=4)
+    padded, mask = pad_dictionary(dictionary, 8, k=4)
+    assert padded.shape[0] == 32  # k * num_shards
+    sharded = sharded_match_features(mesh, src, padded, mask, k=4)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), atol=1e-5)
+
+    with pytest.raises(ValueError):
+        pad_dictionary(dictionary[:3], 8, k=4)
+
+
 def test_sharded_knn_ip_metric(rng):
     mesh = make_mesh(data=1, model=8)
     B, T, N, C = 1, 10, 64, 32

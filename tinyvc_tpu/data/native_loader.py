@@ -21,7 +21,30 @@ _LIB_PATH = os.path.join(
 )
 
 
+def _maybe_build():
+    """Build (or rebuild a stale) libtinyvc_audio.so from source. The binary
+    is deliberately NOT committed to the repo (unreviewable; platform-bound);
+    it is compiled on demand from native/tinyvc_audio.cc."""
+    import subprocess
+
+    native_dir = os.path.dirname(_LIB_PATH)
+    src = os.path.join(native_dir, "tinyvc_audio.cc")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(
+        src
+    ):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir], capture_output=True, timeout=120
+        )
+    except Exception:
+        pass
+
+
 def _load_lib():
+    _maybe_build()
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -66,6 +89,8 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.tvc_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.tvc_loader_error_count.restype = ctypes.c_long
+    lib.tvc_loader_error_count.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -122,6 +147,7 @@ class NativePrefetchLoader:
         self.batch = batch_size
         self.chunk_len = chunk_len
         self.f0_len = f0_len
+        self._reported_errors = 0
         self._handle = lib.tvc_loader_create(
             cache_dir.encode(),
             num_items,
@@ -143,7 +169,22 @@ class NativePrefetchLoader:
         )
         if rc != 0:
             raise RuntimeError("native loader stopped")
+        errs = self.lib.tvc_loader_error_count(self._handle)
+        if errs > self._reported_errors:
+            # corrupt / partially-written cache files decode to silence;
+            # surface it instead of silently degrading training
+            print(
+                f"[tinyvc_tpu] WARNING: native loader hit {errs} decode "
+                "failure(s); affected samples were zero-filled. Check the "
+                "dataset cache for corrupt {idx}.wav / {idx}.f0.npy files."
+            )
+            self._reported_errors = errs
         return {"wave": wave, "f0": f0}
+
+    @property
+    def error_count(self) -> int:
+        """Cumulative decode failures (zero-filled sample slots) so far."""
+        return int(self.lib.tvc_loader_error_count(self._handle))
 
     def close(self):
         if self._handle:

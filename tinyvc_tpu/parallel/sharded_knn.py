@@ -27,12 +27,18 @@ from ..ops.retrieval import _similarities
 
 
 def pad_dictionary(
-    dictionary: jnp.ndarray, num_shards: int
+    dictionary: jnp.ndarray, num_shards: int, k: int = 4
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pad [N, C] to a multiple of num_shards; returns (padded, valid mask)."""
+    """Pad [N, C] so each of the ``num_shards`` shards holds at least ``k``
+    rows (the per-shard ``top_k`` needs k candidates even on shards that are
+    all padding; padded rows are -inf-masked and lose to any ``>= k`` global
+    valid rows). Returns (padded, valid mask). Requires ``N >= k``."""
     n = dictionary.shape[0]
-    pad = (-n) % num_shards
-    mask = jnp.arange(n + pad) < n
+    if n < k:
+        raise ValueError(f"dictionary has {n} rows; sharded kNN needs >= k={k}")
+    target = max(k * num_shards, -(-n // num_shards) * num_shards)
+    pad = target - n
+    mask = jnp.arange(target) < n
     if pad:
         dictionary = jnp.pad(dictionary, ((0, pad), (0, 0)))
     return dictionary, mask

@@ -74,18 +74,25 @@ def encoder_loss(
     distill_weight: float,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     z, logits = encoder.apply(params, spec)
+    loss_f0 = weighted_cross_entropy(logits, f0_labels, class_weights)
+    if not distill_weight:  # static: teacher-less step carries no distill term
+        zero = jnp.zeros((), jnp.float32)
+        return loss_f0, {"loss_f0": loss_f0, "loss_distill": zero}
     teacher = linear_interp_time(teacher, z.shape[1])
     loss_distill = jnp.mean(jnp.abs(z - teacher))
-    loss_f0 = weighted_cross_entropy(logits, f0_labels, class_weights)
     loss = loss_f0 + loss_distill * distill_weight
     return loss, {"loss_f0": loss_f0, "loss_distill": loss_distill}
 
 
-def make_train_step(cfg: TinyVCConfig):
+def make_train_step(cfg: TinyVCConfig, distill: bool = True):
     """Returns a jittable (state, wave, f0, teacher, key) -> (state, metrics).
 
     wave: [B, L] clean audio; f0: [B, F] clean pitch labels (Hz); teacher:
     [B, Ft, 768] teacher features at any frame rate (interpolated to ours).
+
+    ``distill=False`` compiles a step WITHOUT the distillation term (teacher
+    arg ignored): used when no WavLM teacher is available, so the content
+    head stays trainable-but-unforced instead of being pulled toward zeros.
     """
     encoder = Encoder(cfg.encoder)
     tx = make_optimizer(cfg)
@@ -109,7 +116,7 @@ def make_train_step(cfg: TinyVCConfig):
         def loss_fn(p):
             return encoder_loss(
                 encoder, p, spec, labels, teacher, class_weights,
-                cfg.train.distill_weight,
+                cfg.train.distill_weight if distill else 0.0,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

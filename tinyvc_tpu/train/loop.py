@@ -108,7 +108,6 @@ def train_encoder(
     epochs = epochs if epochs is not None else cfg.train.encoder_epochs
     epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
     _, state = encoder_train.init_state(cfg, jax.random.PRNGKey(seed))
-    step_fn = encoder_train.make_train_step(cfg)
 
     ckpt = CheckpointManager(ckpt_dir)
     restored = ckpt.restore(state)
@@ -122,6 +121,9 @@ def train_encoder(
 
     noise_gen = NoiseGenerator(noises_dir) if noises_dir else None
     teacher = make_teacher(dataset_dir, teacher_model)
+    # teacher-less runs compile a step WITHOUT the distill term — the content
+    # head must stay trainable-but-unforced, never pulled toward a zeros target
+    step_fn = encoder_train.make_train_step(cfg, distill=teacher is not None)
     writer = MetricsWriter(log_dir)
 
     key = jax.random.PRNGKey(seed + 1)
@@ -129,8 +131,10 @@ def train_encoder(
     for epoch in range(epochs):
         for batch in next(epochs_iter):
             wave, f0 = batch["wave"], batch["f0"]
-            if noise_gen is not None:
-                wave = noise_gen.add_noise(wave)
+            # teacher features come from the CLEAN wave (reference
+            # `train_encoder.py:79-90` augments only the student input);
+            # noise augmentation is applied after, so with --noises the
+            # student is distilled toward clean targets (denoising).
             if isinstance(teacher, CachedTeacher):
                 if "idx" not in batch:
                     raise RuntimeError(
@@ -144,10 +148,11 @@ def train_encoder(
                     resample(jnp.asarray(wave), cfg.audio.sample_rate, 16000)
                 )
                 tfeat = teacher(wave16)
-            else:
-                tfeat = np.zeros(
-                    (wave.shape[0], f0.shape[1], cfg.encoder.ssl_dim), np.float32
-                )
+            else:  # unused by the no-distill step; placeholder keeps the
+                # (state, wave, f0, teacher, key) signature uniform
+                tfeat = np.zeros((wave.shape[0], 1, cfg.encoder.ssl_dim), np.float32)
+            if noise_gen is not None:
+                wave = noise_gen.add_noise(wave)
             key, sub = jax.random.split(key)
             args = {"wave": wave, "f0": f0, "teacher": tfeat}
             if mesh is not None:

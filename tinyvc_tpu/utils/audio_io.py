@@ -62,18 +62,32 @@ def _load_wav_numpy(path: str) -> Tuple[np.ndarray, int]:
 
 
 def _load_via_ffmpeg(path: str, sr: int | None = None) -> Tuple[np.ndarray, int]:
+    """Single decode pass at the source rate (or ``sr`` when given); the true
+    rate is read with ffprobe so callers resample exactly once."""
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         raise RuntimeError(
             f"cannot decode {path!r}: non-WAV formats need ffmpeg, which is "
             "not installed in this environment"
         )
-    probe = subprocess.run(
-        [ffmpeg, "-i", path, "-f", "f32le", "-ac", "1", "-"],
-        capture_output=True,
-    )
     if sr is None:
-        sr = 48000  # caller should resample
+        ffprobe = shutil.which("ffprobe")
+        if ffprobe is not None:
+            probe = subprocess.run(
+                [
+                    ffprobe, "-v", "error", "-select_streams", "a:0",
+                    "-show_entries", "stream=sample_rate",
+                    "-of", "default=noprint_wrappers=1:nokey=1", path,
+                ],
+                capture_output=True,
+                text=True,
+            )
+            try:
+                sr = int(probe.stdout.strip().splitlines()[0])
+            except (ValueError, IndexError):
+                sr = None
+        if sr is None:
+            sr = 48000  # last resort; caller resamples
     out = subprocess.run(
         [ffmpeg, "-i", path, "-f", "f32le", "-ac", "1", "-ar", str(sr), "-"],
         capture_output=True,
