@@ -1,17 +1,27 @@
-"""Benchmark: full VC pipeline throughput on one chip.
+"""Benchmark: VC pipeline throughput on one chip.
 
-Measures BASELINE.json config 3 — full encode -> kNN match (2048-entry
-dictionary) -> pitch-shift -> DDSP decode, batch 16 — and reports real-time
-factor (audio-seconds synthesised per wall-clock second) per chip.
+Primary metric (the ONE stdout JSON line): BASELINE config 3 — full
+encode -> kNN match (2048-entry dictionary) -> pitch-shift -> DDSP decode,
+batch 16 — as real-time factor (audio-seconds synthesised per wall-clock
+second) per chip. ``vs_baseline`` = value / 50 (BASELINE.md target: >50x
+RTF per v5e chip; the reference publishes no numbers of its own).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 50 (the BASELINE.md target: >50x RTF per v5e chip;
-the reference publishes no numbers of its own).
+``--all`` additionally measures BASELINE configs 1/2/4/5 (encoder-only,
+decoder reconstruction, pitch-shifted long-utterance no-chunking, streaming
+per-block) and writes everything to BENCH_DETAIL.json; per-config lines go
+to stderr so stdout stays a single JSON line.
+
+Timing method: N iterations inside ONE jitted fori_loop/scan, differenced
+against a 1-iteration program of the same shape, synchronised by a
+device->host ``float()`` fetch. (``block_until_ready`` does NOT synchronise
+through the axon relay and a naive loop under-reports; see
+NOTES_NEXT_ROUND.md round 1.)
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -19,101 +29,226 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    import sys
+def timed(make_loop, args, iters: int = 16, reps: int = 3) -> float:
+    """Per-iteration seconds via two-loop-length differencing + float fetch."""
+    loop1, loopN = make_loop(1), make_loop(iters + 1)
+    float(loop1(*args))  # compile + warm
+    float(loopN(*args))
 
+    def best(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return max(best(loopN) - best(loop1), 1e-9) / iters
+
+
+def main():
     from tinyvc_tpu.config import TinyVCConfig, serving_config
-    from tinyvc_tpu.infer.generator import convert_fn
+    from tinyvc_tpu.infer.generator import convert_fn, encode_fn
     from tinyvc_tpu.models import Decoder, Encoder
 
     # serving profile (encoder fp32 + vocoder bf16; mel-parity bound enforced
     # by tests/test_mixed_precision.py). Pass --fp32 for the strict profile.
     cfg = TinyVCConfig() if "--fp32" in sys.argv else serving_config()
-    B = 16
-    SECONDS = 10.0
-    L = int(SECONDS * cfg.audio.sample_rate)  # 10 s per utterance
-    L = (L // cfg.audio.hop_size) * cfg.audio.hop_size
+    run_all = "--all" in sys.argv
+    sr = cfg.audio.sample_rate
+    hop = cfg.audio.hop_size
     N = cfg.retrieval.index_size  # 2048
 
     key = jax.random.PRNGKey(0)
     encoder = Encoder(cfg.encoder)
     decoder = Decoder(cfg.decoder, cfg.audio)
     k1, k2, k3 = jax.random.split(key, 3)
-    F = L // cfg.audio.hop_size
     # init on CPU (a tunnelled TPU would compile the whole forward just to
     # draw parameters), then transfer
+    import contextlib
+
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    import contextlib
-
+    Fi = 10
     with jax.default_device(cpu) if cpu else contextlib.nullcontext():
-        enc_params = encoder.init(k1, jnp.zeros((1, F, cfg.audio.fft_bin)))
+        enc_params = encoder.init(k1, jnp.zeros((1, Fi, cfg.audio.fft_bin)))
         dec_params = decoder.init(
             k2,
-            jnp.zeros((1, F, cfg.decoder.content_channels)),
-            jnp.zeros((1, F)),
-            jnp.zeros((1, L)),
+            jnp.zeros((1, Fi, cfg.decoder.content_channels)),
+            jnp.zeros((1, Fi)),
+            jnp.zeros((1, Fi * hop)),
             k3,
         )
-    if cpu is not None:
+    if cpu is not None and jax.devices()[0].platform != "cpu":
         enc_params = jax.device_put(enc_params, jax.devices()[0])
         dec_params = jax.device_put(dec_params, jax.devices()[0])
 
     rng = np.random.default_rng(0)
-    wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
     target = jnp.asarray(
         rng.standard_normal((N, cfg.encoder.ssl_dim)).astype(np.float32)
     )
-    pitch_shift = jnp.float32(0.0)
+    results = {}
 
-    ITERS = 20
+    def log(name, value, unit):
+        results[name] = {"value": round(value, 2), "unit": unit}
+        print(f"[bench] {name}: {value:.2f} {unit}", file=sys.stderr, flush=True)
+        if run_all:  # persist incrementally: one failed config loses nothing
+            with open("BENCH_DETAIL.json", "w") as f:
+                json.dump(results, f, indent=1)
 
-    # Time ITERS full pipeline executions inside ONE jitted program
-    # (lax.fori_loop). This excludes per-call host/RPC dispatch latency and
-    # prevents async-completion artefacts from under-reporting; the carried
-    # perturbation makes every iteration's input unique so XLA cannot hoist
-    # loop-invariant work.
-    @jax.jit
-    def bench_fn(enc_p, dec_p, wave, target, pitch_shift, key):
-        def body(i, carry):
-            w = wave + carry * 1e-20
-            out = convert_fn(
-                encoder, decoder, enc_p, dec_p, w, target, pitch_shift,
-                jax.random.fold_in(key, i), cfg,
+    def convert_rtf(B, seconds, pitch, iters=16):
+        L = int(seconds * sr) // hop * hop
+        wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+        ps = jnp.float32(pitch)
+
+        def make_loop(n):
+            @jax.jit
+            def loop(enc_p, dec_p, wave, target, ps, key):
+                def body(i, carry):
+                    out = convert_fn(
+                        encoder, decoder, enc_p, dec_p, wave + carry * 1e-20,
+                        target, ps, jax.random.fold_in(key, i), cfg,
+                    )
+                    return jnp.mean(out)
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            return loop
+
+        dt = timed(make_loop, (enc_params, dec_params, wave, target, ps, key),
+                   iters=iters)
+        return B * L / sr / dt
+
+    sel = None
+    for a in sys.argv:
+        if a.startswith("--configs="):
+            sel = set(a.split("=", 1)[1].split(","))
+
+    def wanted(n):
+        return run_all and (sel is None or n in sel)
+
+    # ---- config 3 (flagship): full pipeline, batch 16, 10 s ----
+    if sel is None or "3" in sel:
+        rtf3 = convert_rtf(B=16, seconds=10.0, pitch=0.0)
+        log("config3_full_pipeline_rtf", rtf3, "audio-s/s")
+    else:
+        rtf3 = float("nan")
+
+    L1 = int(10.0 * sr) // hop * hop
+    if wanted("1"):
+        # ---- config 1: encoder forward, batch 1 ----
+        wave1 = jnp.asarray(rng.standard_normal((1, L1)).astype(np.float32) * 0.1)
+
+        def make_enc_loop(n):
+            @jax.jit
+            def loop(enc_p, wave):
+                def body(i, carry):
+                    content, f0 = encode_fn(encoder, enc_p, wave + carry * 1e-20, cfg)
+                    return jnp.mean(content) + jnp.mean(f0)
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            return loop
+
+        dt = timed(make_enc_loop, (enc_params, wave1))
+        log("config1_encoder_rtf", L1 / sr / dt, "audio-s/s")
+
+    if wanted("2"):
+        # ---- config 2: decoder reconstruction from content/f0/energy ----
+        B2, F2 = 16, L1 // hop
+        content = jnp.asarray(
+            rng.standard_normal((B2, F2, cfg.decoder.content_channels)).astype(
+                np.float32
             )
-            return jnp.mean(out)
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    # warmup / compile
-    bench_fn(enc_params, dec_params, wave, target, pitch_shift, key).block_until_ready()
-
-    t0 = time.perf_counter()
-    r = bench_fn(enc_params, dec_params, wave, target, pitch_shift, key)
-    r.block_until_ready()
-    total = time.perf_counter() - t0
-
-    # subtract the fixed dispatch/RPC overhead measured with a 0-iteration
-    # program of the same shape
-    t0 = time.perf_counter()
-    jnp.mean(wave).block_until_ready()
-    overhead = time.perf_counter() - t0
-    dt = max(total - overhead, 1e-9) / ITERS
-
-    audio_seconds = B * L / cfg.audio.sample_rate
-    rtf = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "vc_rtf_per_chip",
-                "value": round(rtf, 2),
-                "unit": "audio-seconds/s",
-                "vs_baseline": round(rtf / 50.0, 3),
-            }
         )
-    )
+        f0 = jnp.asarray(
+            (np.abs(rng.standard_normal((B2, F2))) * 200 + 50).astype(np.float32)
+        )
+        energy = jnp.asarray(
+            np.abs(rng.standard_normal((B2, F2 * hop))).astype(np.float32) * 0.1
+        )
+
+        def make_dec_loop(n):
+            @jax.jit
+            def loop(dec_p, content, f0, energy, key):
+                def body(i, carry):
+                    out = decoder.apply(
+                        dec_p, content + carry * 1e-20, f0, energy,
+                        jax.random.fold_in(key, i), method=decoder.infer,
+                    )
+                    return jnp.mean(out)
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            return loop
+
+        dt = timed(make_dec_loop, (dec_params, content, f0, energy, key))
+        log("config2_decoder_rtf", B2 * F2 * hop / sr / dt, "audio-s/s")
+
+    if wanted("4"):
+        # ---- config 4: pitch-shifted (-p 12), 60 s single utterance,
+        # whole-utterance (no chunking) ----
+        rtf4 = convert_rtf(B=1, seconds=60.0, pitch=12.0, iters=8)
+        log("config4_longform_p12_rtf", rtf4, "audio-s/s")
+
+    if wanted("5"):
+        # ---- config 5: streaming per-block latency (carried state) ----
+        import dataclasses
+
+        from tinyvc_tpu.infer.stream import StreamState, make_stream_step
+
+        # the stream buffer is 13k samples — the fused U-Net kernel buys
+        # nothing at that size and its 5 pallas calls blow up the remote
+        # AOT compile; stream on the XLA path
+        scfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, use_fused_filter="off")
+        )
+        step = make_stream_step(encoder, decoder, scfg)
+        state0 = StreamState.init(cfg.stream, jax.random.PRNGKey(7))
+        block = jnp.asarray(
+            rng.standard_normal((cfg.stream.block_size,)).astype(np.float32) * 0.1
+        )
+
+        def make_stream_loop(n):
+            @jax.jit
+            def loop(enc_p, dec_p, state, block, target):
+                def body(i, carry):
+                    st, acc = carry
+                    st, out = step(
+                        enc_p, dec_p, st, block + acc * 1e-20, target,
+                        jnp.float32(0.0),
+                    )
+                    return (st, jnp.mean(out))
+
+                _, acc = jax.lax.fori_loop(
+                    0, n, body, (state, jnp.float32(0.0))
+                )
+                return acc
+
+            return loop
+
+        dt = timed(
+            make_stream_loop, (enc_params, dec_params, state0, block, target),
+            iters=16,
+        )
+        ms = dt * 1000.0
+        log("config5_stream_block_ms", ms, "ms/block")
+        budget = cfg.stream.block_size / sr * 1000.0
+        log("config5_stream_rt_headroom", budget / ms, "x")
+
+    if rtf3 == rtf3:  # skip the flagship line when config 3 was deselected
+        print(
+            json.dumps(
+                {
+                    "metric": "vc_rtf_per_chip",
+                    "value": round(rtf3, 2),
+                    "unit": "audio-seconds/s",
+                    "vs_baseline": round(rtf3 / 50.0, 3),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

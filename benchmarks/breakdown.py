@@ -109,6 +109,27 @@ def main():
         lambda i, c, w: spectrogram(w + c * 1e-20, 1920, 480),
         wave, iters=iters, label="spectrogram",
     )
+        # Roofline (VERDICT r1 item 6): is the XLA spectrogram near
+        # speed-of-light, and what could a fused Pallas window+DFT kernel buy?
+        HBM_GBPS = 819.0  # v5e
+        FP32_TFLOPS = 98.0  # v5e fp32 ~ half of bf16 197
+        frames = F * B
+        bytes_min = (B * L + frames * 961) * 4  # read wave + write magnitude
+        bytes_xla = bytes_min + 2 * frames * 1920 * 4 * 2  # framed + complex fft
+        t_mem_min = bytes_min / (HBM_GBPS * 1e9)
+        t_mem_xla = bytes_xla / (HBM_GBPS * 1e9)
+        dft_flops = 2 * frames * 1920 * 2 * 961  # DFT-as-matmul alternative
+        t_dft = dft_flops / (FP32_TFLOPS * 1e12)
+        dt = results["spectrogram"]
+        print(
+            f"  roofline: memory floor {t_mem_min*1e3:.3f} ms (fused) / "
+            f"{t_mem_xla*1e3:.3f} ms (XLA materialises frames+fft); "
+            f"measured = {dt/t_mem_xla:.1f}x XLA floor. "
+            f"Fused DFT-matmul kernel bound: "
+            f"{max(t_dft, t_mem_min)*1e3:.3f} ms "
+            f"({'worthwhile' if max(t_dft, t_mem_min) < 0.5 * dt else 'marginal'})",
+            flush=True,
+        )
     if want("energy"):
         results["energy"] = timed_loop(
         lambda i, c, w: estimate_energy(w + c * 1e-20),
@@ -149,6 +170,19 @@ def main():
         ),
         content, f0, energy, src, dec_p, iters=iters, label="filter_net",
     )
+    if want("filter_fused"):
+        import dataclasses
+
+        from tinyvc_tpu.ops.fused_filternet import filternet_fused_apply
+
+        dcfg = dataclasses.replace(cfg.decoder, compute_dtype="bfloat16")
+        results["filter_fused"] = timed_loop(
+            lambda i, c, z, f, e, s, p: filternet_fused_apply(
+                p["params"]["filter_net"], dcfg, z + c * 1e-20, f, e, s
+            ),
+            content, f0, energy, src, dec_p, iters=iters,
+            label="filter_net fused bf16",
+        )
     total = sum(results.values())
     print(f"{'TOTAL (sum)':24s} {total * 1000:9.3f} ms/iter "
           f"-> RTF {audio_sec / total:.0f}x")

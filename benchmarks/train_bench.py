@@ -1,0 +1,119 @@
+"""Training-step throughput on the real chip (VERDICT round-1 item 4).
+
+Measures the full GAN decoder step (pre-join and post-join phases) and the
+encoder distillation step at the reference's batch 16 / 2 s chunks
+(`/root/reference/train_decoder.py:87-168`, `train_encoder.py:69-118`),
+with the trusted two-loop-length differencing + float() fetch method.
+
+Usage: python benchmarks/train_bench.py [gan-pre gan-post enc]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from tinyvc_tpu.config import TinyVCConfig
+from tinyvc_tpu.train import decoder_train, encoder_train
+
+
+def timed(make_loop, args, iters=8, reps=3):
+    loop1, loopN = make_loop(1), make_loop(iters + 1)
+    float(loop1(*args))
+    float(loopN(*args))
+
+    def best(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return max(best(loopN) - best(loop1), 1e-9) / iters
+
+
+def main():
+    which = sys.argv[1:] or ["gan-pre", "gan-post", "enc"]
+    cfg = TinyVCConfig()
+    B = cfg.train.batch_size  # 16
+    L = cfg.train.chunk_length  # 48000 (2 s)
+    F = L // cfg.audio.hop_size
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        _, enc_state = encoder_train.init_state(cfg, jax.random.PRNGKey(0))
+        gan_state = decoder_train.init_state(cfg, jax.random.PRNGKey(1))
+    dev = jax.devices()[0]
+    enc_state = jax.device_put(enc_state, dev)
+    gan_state = jax.device_put(gan_state, dev)
+
+    for name in which:
+        if name.startswith("gan"):
+            step = decoder_train.make_train_step(cfg, d_join=name == "gan-post")
+
+            def make_loop(n, step=step):
+                @jax.jit
+                def loop(state, enc_p, wave, key):
+                    def body(i, carry):
+                        st, acc = carry
+                        st, m = step(st, enc_p, wave + acc * 1e-20,
+                                     jax.random.fold_in(key, i))
+                        return (st, jnp.mean(m["loss_g"]))
+
+                    _, acc = jax.lax.fori_loop(
+                        0, n, body, (state, jnp.float32(0.0))
+                    )
+                    return acc
+
+                return loop
+
+            dt = timed(
+                make_loop, (gan_state, enc_state.params, wave,
+                            jax.random.PRNGKey(2))
+            )
+        else:
+            estep = encoder_train.make_train_step(cfg)
+            f0 = jnp.asarray(
+                (np.abs(rng.standard_normal((B, F))) * 200 + 30).astype(np.float32)
+            )
+            teacher = jnp.asarray(
+                rng.standard_normal((B, 99, cfg.encoder.ssl_dim)).astype(np.float32)
+            )
+
+            def make_loop(n):
+                @jax.jit
+                def loop(state, wave, f0, teacher, key):
+                    def body(i, carry):
+                        st, acc = carry
+                        st, m = estep(st, wave + acc * 1e-20, f0, teacher,
+                                      jax.random.fold_in(key, i))
+                        return (st, jnp.mean(m["loss"]))
+
+                    _, acc = jax.lax.fori_loop(
+                        0, n, body, (state, jnp.float32(0.0))
+                    )
+                    return acc
+
+                return loop
+
+            dt = timed(
+                make_loop, (enc_state, wave, f0, teacher, jax.random.PRNGKey(3))
+            )
+        print(
+            f"{name}: {dt * 1000:8.2f} ms/step  ({1.0 / dt:.2f} steps/s, "
+            f"batch {B} x {L / cfg.audio.sample_rate:.0f}s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,72 @@ def test_mel_filterbank_htk_shape_and_partition():
     # every mel filter has positive mass; interior bins are covered
     assert (fb.sum(axis=0) > 0).all()
     assert fb.min() >= 0.0
+
+
+def test_hierarchical_phase_prefix_long_utterance(rng):
+    """>10-minute utterances must not detune: the two-level mod-1 prefix
+    stays within ~1e-4 cycles of a float64 oracle where a flat fp32 cumsum
+    drifts orders of magnitude more (VERDICT round 1, item 8)."""
+    import jax.numpy as jnp
+
+    from tinyvc_tpu.dsp.phase import wrapped_exclusive_prefix
+
+    F = 200_000  # ~66 minutes of 20 ms frames
+    fs = (rng.uniform(0.0, 1.0, F)).astype(np.float32)  # per-frame cycles mod 1
+
+    oracle = np.cumsum(fs.astype(np.float64)) - fs  # exclusive, float64
+    oracle_mod = np.mod(oracle, 1.0)
+
+    ours = np.asarray(wrapped_exclusive_prefix(jnp.asarray(fs)[None])[0])
+    err = np.abs(ours - oracle_mod)
+    err = np.minimum(err, 1.0 - err)  # cyclic distance
+    assert err.max() < 1e-4, err.max()
+
+    # the flat fp32 cumsum this replaces would fail the same bound
+    flat = np.mod(np.cumsum(fs) - fs, 1.0)
+    err_flat = np.abs(flat - oracle_mod)
+    err_flat = np.minimum(err_flat, 1.0 - err_flat)
+    assert err_flat.max() > 1e-2
+
+
+def test_oscillator_no_detune_12_minutes():
+    """End-to-end: after 12 minutes of synthesis the oscillator's measured
+    frequency error stays far below audibility (<0.01 Hz ~ 0.1 cents at
+    220 Hz). The fp32 frame-sum rounding gives a constant sub-audible bias;
+    what must NOT happen is the flat-cumsum failure mode, where phase
+    quantisation at a large running total warbles the pitch."""
+    import jax.numpy as jnp
+
+    from tinyvc_tpu.models.decoder import oscillate_harmonics
+
+    F, hop, sr = 36_000, 480, 24000  # 12 minutes
+    f0_hz = 220.37
+    f0 = jnp.full((1, F), f0_hz, jnp.float32)
+    wave = np.asarray(
+        oscillate_harmonics(f0, hop, sr, num_harmonics=0)
+    )[0, :, 0].astype(np.float64)
+
+    def demod_phase(pos, win=24000):
+        """Phase (cycles) of the f0 component over a 1 s window at pos."""
+        n = np.arange(pos, pos + win, dtype=np.float64)
+        z = np.sum(wave[pos : pos + win] * np.exp(-2j * np.pi * f0_hz * n / sr))
+        return np.angle(z) / (2 * np.pi)
+
+    L = F * hop
+    p1, p2 = L // 2, L - 24000  # 6 min and ~12 min
+    dphi = demod_phase(p2) - demod_phase(p1)
+    dphi -= np.round(dphi)  # cyclic
+    detune_hz = abs(dphi) / ((p2 - p1) / sr)
+    # NOTE: cyclic ambiguity means detune is measured mod sr/(p2-p1)
+    # ~ 7e-3 Hz; the hierarchical prefix's true bias is ~4e-5 Hz. A flat
+    # fp32 cumsum at this length quantises phase at ulp(1.6e5 cycles)
+    # ~ 0.016 -> ~0.4 Hz wobble, which also destroys window coherence below.
+    assert detune_hz < 5e-3, detune_hz
+
+    # window coherence: demodulation magnitude stays near full scale at the
+    # end (phase-stable within the 1 s window); warble collapses it
+    n = np.arange(p2, p2 + 24000, dtype=np.float64)
+    mag = abs(
+        np.sum(wave[p2 : p2 + 24000] * np.exp(-2j * np.pi * f0_hz * n / sr))
+    ) / (0.5 * 24000)
+    assert mag > 0.98, mag

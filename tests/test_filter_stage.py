@@ -44,3 +44,71 @@ def test_fused_upsample_chain_matches_module(rng):
     )
     # edges bounded
     assert np.abs(out - ref).max() < 0.3 * max(np.abs(ref).max(), 1.0)
+
+
+def test_fused_upsample_chain_bf16(rng):
+    """Serving-profile tiles: bf16 compute tracks the fp32 module within
+    bf16 rounding (the mel-level bound is enforced by the mixed-precision
+    pipeline tests)."""
+    B, T, C, Co, f = 1, 720, 24, 24, 4
+    up = Upsample(Co, f)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(
+        rng.standard_normal((B, T * f, C)).astype(np.float32) * 0.3
+    )
+    params = up.init(jax.random.PRNGKey(0), x, cond)
+    ref = np.asarray(up.apply(params, x, cond))
+
+    xu = upsample_time_int(x, f)
+    w = upsample_params_to_tuple(params["params"])
+    out = np.asarray(
+        fused_upsample_chain(
+            xu, cond, *w, dtype_name="bfloat16", t_blk=512, interpret=True
+        )
+    )
+    crop = 128
+    err = np.abs(out[:, crop:-crop] - ref[:, crop:-crop]).max()
+    scale = np.abs(ref).max()
+    assert err < 0.05 * scale, (err, scale)
+
+
+def test_filternet_fused_apply_matches_module(rng):
+    """The functional serving path (fused Pallas Upsample stages, interpret
+    mode here) tracks the flax FilterNet on the interior; sequence edges use
+    edge-replicated halos and may deviate slightly (documented)."""
+    from tinyvc_tpu.config import DecoderConfig
+    from tinyvc_tpu.models.decoder import FilterNet
+    from tinyvc_tpu.ops.fused_filternet import filternet_fused_apply
+
+    cfg = DecoderConfig(
+        source_channels=16,
+        filter_channels=(48, 32, 24, 16, 8),
+        content_channels=32,
+    )
+    net = FilterNet(cfg)
+    B, F = 1, 24
+    hop = 480
+    L = F * hop
+    content = jnp.asarray(rng.standard_normal((B, F, 32)).astype(np.float32) * 0.3)
+    f0 = jnp.asarray(
+        (np.abs(rng.standard_normal((B, F))) * 200 + 50).astype(np.float32)
+    )
+    energy = jnp.asarray(np.abs(rng.standard_normal((B, L))).astype(np.float32) * 0.1)
+    source = jnp.asarray(
+        rng.standard_normal((B, L, cfg.num_harmonics + 2)).astype(np.float32) * 0.3
+    )
+    params = net.init(jax.random.PRNGKey(0), content, f0, energy, source)
+    ref = np.asarray(net.apply(params, content, f0, energy, source))
+
+    out = np.asarray(
+        filternet_fused_apply(
+            params["params"], cfg, content, f0, energy, source, interpret=True
+        )
+    )
+    assert out.shape == ref.shape
+    crop = 2400  # edge band: replicated-input halos accumulate up the chain
+    interior_err = np.abs(out[:, crop:-crop] - ref[:, crop:-crop]).max()
+    scale = np.abs(ref).max()
+    assert interior_err < 1e-3 * max(scale, 1.0), (interior_err, scale)
+    # edges bounded
+    assert np.abs(out - ref).max() < 0.5 * max(scale, 1.0)

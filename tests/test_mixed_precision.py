@@ -69,3 +69,42 @@ def test_serving_profile_mel_parity(rng):
     ).mean()
     assert l1_serv < max(3.0 * l1_fp32, 1e-3), (l1_serv, l1_fp32)
     assert l1_serv < 0.03, l1_serv
+
+
+def test_fused_filter_serving_mel_parity(rng):
+    """The fused Pallas U-Net serving path (interpret mode on CPU) must hold
+    the same mel-parity bound vs the PyTorch reference — including its
+    edge-replicated-halo deviation at utterance ends."""
+    import dataclasses
+
+    torch.manual_seed(3)
+    ref_enc = RefEncoder().eval()
+    ref_dec = RefDecoder().eval()
+    B, L, N = 1, 48000, 512
+    F = L // 480
+    wave = (rng.standard_normal((B, L)) * 0.1).astype(np.float32)
+    tgt = rng.standard_normal((1, 768, N)).astype(np.float32)
+    angle = rng.uniform(-math.pi, math.pi, (B, 961, F)).astype(np.float32)
+
+    ref_out = _ref_convert(
+        ref_enc, ref_dec, torch.from_numpy(wave), torch.from_numpy(tgt),
+        2.0, torch.from_numpy(angle),
+    ).numpy()
+    mel_ref = np.asarray(log_mel_spectrogram(jnp.asarray(ref_out)))
+
+    out_fp32 = _run(TinyVCConfig(), ref_enc, ref_dec, wave, tgt, angle)
+    cfg_fused = serving_config()
+    cfg_fused = dataclasses.replace(
+        cfg_fused,
+        decoder=dataclasses.replace(cfg_fused.decoder, use_fused_filter="on"),
+    )
+    out_fused = _run(cfg_fused, ref_enc, ref_dec, wave, tgt, angle)
+
+    l1_fp32 = np.abs(
+        np.asarray(log_mel_spectrogram(jnp.asarray(out_fp32))) - mel_ref
+    ).mean()
+    l1_fused = np.abs(
+        np.asarray(log_mel_spectrogram(jnp.asarray(out_fused))) - mel_ref
+    ).mean()
+    assert l1_fused < max(3.0 * l1_fp32, 1e-3), (l1_fused, l1_fp32)
+    assert l1_fused < 0.03, l1_fused

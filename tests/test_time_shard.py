@@ -41,6 +41,22 @@ def test_time_sharded_invariance_and_mel_parity(rng):
         jnp.zeros((1, 20 * 480)),
         k3,
     )
+    # A second encoder-param variant with a DETERMINISTIC pitch head
+    # (zero kernel + peaked bias -> constant decoded f0) for the
+    # vs-standard-pipeline comparison below. The untrained random pitch
+    # head's top-k decode is chaotic: halo context vs each conv's own edge
+    # padding flips classes at the outermost frames, and ANY f0 difference
+    # at ANY frame permanently shifts the global harmonic phase constant
+    # (reference semantics) — so "sharded vs standard" is only well-posed
+    # at mel level when f0 agrees at every frame. The chaotic head stays in
+    # use for the shard-count invariance check, which is where the
+    # phase-prefix stitching is actually exercised with varying f0.
+    import copy
+
+    enc_p_det = copy.deepcopy(enc_p)
+    out_layer = enc_p_det["params"]["pitch_estimator"]["stack"]["output_layer"]
+    out_layer["kernel"] = out_layer["kernel"] * 0.0
+    out_layer["bias"] = out_layer["bias"].at[350].set(5.0)
 
     t = np.arange(L) / 24000
     wave = (
@@ -68,13 +84,22 @@ def test_time_sharded_invariance_and_mel_parity(rng):
     rel = np.abs(outs[1] - outs[4]).max() / scale
     assert rel < 5e-2, rel  # shard-count invariance (fp32 collective noise)
 
-    # mel-level agreement with the standard single-device pipeline
+    # mel-level agreement with the standard single-device pipeline, using
+    # the deterministic pitch head (see enc_p_det comment above)
+    mesh4 = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    out_det = np.asarray(
+        time_sharded_convert(
+            mesh4, enc_p_det, dec_p, jnp.asarray(wave), jnp.asarray(target),
+            jnp.float32(2.0), key, cfg, halo_frames=H, filter_halo=FH,
+            noise_angle=jnp.asarray(angle),
+        )
+    )
     ref = convert_fn(
-        encoder, decoder, enc_p, dec_p, jnp.asarray(wave[None]),
+        encoder, decoder, enc_p_det, dec_p, jnp.asarray(wave[None]),
         jnp.asarray(target), jnp.float32(2.0), key, cfg,
         noise_angle=jnp.asarray(angle[None]),
     )
     mel_ref = np.asarray(log_mel_spectrogram(jnp.asarray(np.asarray(ref))))
-    mel_out = np.asarray(log_mel_spectrogram(jnp.asarray(outs[4][None])))
+    mel_out = np.asarray(log_mel_spectrogram(jnp.asarray(out_det[None])))
     mel_l1 = np.abs(mel_ref - mel_out).mean()
     assert mel_l1 < 0.05 * np.abs(mel_ref).mean(), mel_l1

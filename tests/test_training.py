@@ -99,3 +99,64 @@ def test_decoder_train_step_both_phases(rng):
     for k in ("loss_adv", "loss_feat", "loss_d"):
         assert k in metrics and np.isfinite(float(metrics[k])), k
     assert int(state.step) == 5
+
+
+def test_torch_matching_init_distributions(rng):
+    """Conv/Dense weights follow torch's kaiming_uniform_(a=sqrt(5)) =
+    U(+-sqrt(1/fan_in)); weight-norm g initialises to ||v|| per output
+    channel (reference `discriminator.py:14,80`)."""
+    from tinyvc_tpu.models.discriminator import WNConv2d
+    from tinyvc_tpu.models.layers import Conv1d
+
+    conv = Conv1d(64, 3, dilation=1)
+    p = conv.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48)))["params"]
+    k = np.asarray(p["kernel"])  # [3, 48, 64]
+    bound = 1.0 / np.sqrt(3 * 48)
+    assert np.abs(k).max() <= bound + 1e-7
+    # uniform, not clipped-normal: std ~ bound/sqrt(3)
+    assert abs(k.std() - bound / np.sqrt(3)) < 0.1 * bound
+    b = np.asarray(p["bias"])
+    assert np.abs(b).max() <= bound + 1e-7 and np.abs(b).max() > 0
+
+    wn = WNConv2d(8, (5, 1))
+    pw = wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 4, 3)))["params"]
+    v, g = np.asarray(pw["v"]), np.asarray(pw["g"])
+    np.testing.assert_allclose(
+        g, np.sqrt((v * v).sum(axis=(0, 1, 2))), rtol=1e-5
+    )
+
+
+def test_tiny_gan_50_steps_trains_both_players(rng):
+    """~50 post-join steps on a fixed batch: the generator's reconstruction
+    improves and the discriminator beats its untrained loss — from-scratch
+    dynamics, not just 'one step runs' (VERDICT round 1, item 7)."""
+    cfg = small_config()
+    _, enc_state = encoder_train.init_state(cfg, jax.random.PRNGKey(0))
+    state = decoder_train.init_state(cfg, jax.random.PRNGKey(1))
+    step = decoder_train.make_train_step(cfg, d_join=True)
+
+    wave = jnp.asarray(
+        np.sin(
+            2 * np.pi * 220.0 * np.arange(cfg.train.chunk_length) / 24000.0
+        ).astype(np.float32)
+        * 0.3
+    )[None, :].repeat(2, axis=0)
+    key = jax.random.PRNGKey(2)
+    hist = {"loss_spec": [], "loss_dsp": [], "loss_d": [], "loss_g": []}
+    for i in range(50):
+        key, sub = jax.random.split(key)
+        state, m = step(state, enc_state.params, wave, sub)
+        for k in hist:
+            hist[k].append(float(m[k]))
+
+    first5 = {k: np.mean(v[:5]) for k, v in hist.items()}
+    last5 = {k: np.mean(v[-5:]) for k, v in hist.items()}
+    # generator: spectral reconstruction and source losses improve
+    assert last5["loss_spec"] < first5["loss_spec"]
+    assert last5["loss_dsp"] < first5["loss_dsp"]
+    # discriminator: learns to separate real/fake (LSGAN loss falls below
+    # the untrained value)
+    assert last5["loss_d"] < first5["loss_d"]
+    # nothing diverges
+    for k, v in hist.items():
+        assert np.isfinite(v).all(), k

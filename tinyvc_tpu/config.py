@@ -63,6 +63,10 @@ class DecoderConfig:
     content_channels: int = 768
     # 'auto': Pallas kernels on TPU backends, XLA elsewhere; 'on'/'off' force
     use_pallas: str = "auto"
+    # fused VMEM-resident Upsample-chain kernel for the waveform-rate U-Net
+    # (serving path; ~80-sample edge-replication deviation at utterance
+    # ends, see ops/pallas/filter_stage.py). Same 'auto'/'on'/'off' scheme.
+    use_fused_filter: str = "auto"
     compute_dtype: str = "float32"  # see EncoderConfig.compute_dtype
     # conv lowering for the U-Net: 'unfold' (k shifted views + one matmul,
     # fastest measured), 'taps', 'phased', 'lax'

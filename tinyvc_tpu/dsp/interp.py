@@ -94,3 +94,18 @@ def downsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         return blocks[:, :, (factor - 1) // 2, :]
     h = factor // 2
     return 0.5 * (blocks[:, :, h - 1, :] + blocks[:, :, h, :])
+
+
+def upsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Channels-first variant of :func:`upsample_time_int`:
+    ``[B, C, T] -> [B, C, T*factor]`` with identical
+    align_corners=False semantics (used by the fused-kernel serving path,
+    which keeps the U-Net up path transposed end-to-end)."""
+    B, C, T = x.shape
+    a = (jnp.arange(factor, dtype=x.dtype) + 0.5) / factor - 0.5  # [f]
+    prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+    lo = prev[..., None] * (-a) + x[..., None] * (1.0 + a)
+    hi = x[..., None] * (1.0 - a) + nxt[..., None] * a
+    out = jnp.where(a < 0.0, lo, hi)  # [B, C, T, f]
+    return out.reshape(B, C, T * factor)

@@ -42,6 +42,53 @@ def encode_fn(
     return encoder.apply(enc_params, spec, method=encoder.infer)
 
 
+def _on_cpu_backend() -> bool:
+    default_dev = getattr(jax.config, "jax_default_device", None)
+    return jax.default_backend() in ("cpu", "gpu") or (
+        default_dev is not None and default_dev.platform in ("cpu", "gpu")
+    )
+
+
+def decode_infer(
+    decoder: Decoder,
+    dec_params: Dict[str, Any],
+    content: jnp.ndarray,
+    f0: jnp.ndarray,
+    energy: jnp.ndarray,
+    key: jax.Array,
+    cfg: TinyVCConfig,
+    noise_angle: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``Decoder.infer`` with the waveform-rate U-Net routed through the
+    fused VMEM-resident Pallas kernel when enabled
+    (``cfg.decoder.use_fused_filter``; `ops/fused_filternet.py`)."""
+    flag = cfg.decoder.use_fused_filter
+    use_fused = flag == "on" or (flag == "auto" and not _on_cpu_backend())
+    if not use_fused:
+        return decoder.apply(
+            dec_params, content, f0, energy, key,
+            noise_angle=noise_angle, method=decoder.infer,
+        )
+    from ..ops.fused_filternet import filternet_fused_apply
+
+    amps, kernel = decoder.apply(
+        dec_params, content, f0, energy,
+        method=lambda m, c, f_, e: m.source_net(c, f_, e),
+    )
+    source = decoder.apply(
+        dec_params, f0, amps, kernel, key, noise_angle,
+        method=lambda m, f_, a, k_, key_, na: m.dsp(
+            f_, a, k_, key_, noise_angle=na
+        ),
+    )
+    return filternet_fused_apply(
+        dec_params["params"]["filter_net"], cfg.decoder, content, f0, energy,
+        source,
+        # flag == 'on' on a CPU backend runs the kernels interpreted (tests)
+        interpret=_on_cpu_backend(),
+    )
+
+
 def convert_fn(
     encoder: Encoder,
     decoder: Decoder,
@@ -73,14 +120,9 @@ def convert_fn(
         metric=cfg.retrieval.metric,
     )
     f0 = shift_frequency(f0, pitch_shift)
-    return decoder.apply(
-        dec_params,
-        matched,
-        f0,
-        energy,
-        key,
+    return decode_infer(
+        decoder, dec_params, matched, f0, energy, key, cfg,
         noise_angle=noise_angle,
-        method=decoder.infer,
     )
 
 
@@ -117,9 +159,7 @@ def convert_fn_sharded(
         metric=cfg.retrieval.metric,
     )
     f0 = shift_frequency(f0, pitch_shift)
-    return decoder.apply(
-        dec_params, matched, f0, energy, key, method=decoder.infer
-    )
+    return decode_infer(decoder, dec_params, matched, f0, energy, key, cfg)
 
 
 class VoiceConverter:

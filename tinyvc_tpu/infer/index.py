@@ -31,7 +31,12 @@ def extract_index(
     cfg = cfg or TinyVCConfig()
     vc = VoiceConverter(enc_params, None, cfg)
     ds = Dataset(dataset_dir)
-    dl = DataLoader(ds, batch_size=batch_size, shuffle=True, seed=seed)
+    # the loader drops the ragged tail for static shapes; clamp so datasets
+    # smaller than one batch still contribute (reference extract_index.py:31
+    # simply uses batch_size=1)
+    dl = DataLoader(
+        ds, batch_size=max(1, min(batch_size, len(ds))), shuffle=True, seed=seed
+    )
 
     feats = []
     total = 0

@@ -29,8 +29,9 @@ from ..dsp.interp import (
     upsample_frames_to_samples,
     upsample_time_int,
 )
+from ..dsp.phase import wrapped_exclusive_prefix
 from ..dsp.stft import istft
-from .layers import Conv1d, ConvNeXtLayer, FiLM
+from .layers import Conv1d, ConvNeXtLayer, FiLM, torch_dense
 
 
 def oscillate_harmonics(
@@ -63,8 +64,9 @@ def oscillate_harmonics(
     intra = jnp.cumsum(d, axis=-1)  # [B, F, frame]
     frame_sums = intra[..., -1]
     fs_mod = frame_sums - jnp.floor(frame_sums)
-    offsets = jnp.cumsum(fs_mod, axis=-1) - fs_mod  # exclusive prefix
-    offsets = offsets - jnp.floor(offsets)
+    # hierarchical (two-level mod-1) exclusive prefix: no detune on
+    # multi-hour utterances (a flat fp32 cumsum drifts past ~30k frames)
+    offsets = wrapped_exclusive_prefix(fs_mod)
     phase = (
         jnp.reshape(jnp.asarray(phase0, jnp.float32), (-1, 1, 1))
         + offsets[..., None]
@@ -130,14 +132,11 @@ class SourceNet(nn.Module):
         energy_f = jnp.max(energy.reshape(B, L // frame, frame), axis=-1)
 
         dt = jnp.dtype(self.cfg.compute_dtype)
+        ch = self.cfg.source_channels
         x = (
-            nn.Dense(self.cfg.source_channels, dtype=dt, name="content_in")(content)
-            + nn.Dense(self.cfg.source_channels, dtype=dt, name="energy_in")(
-                energy_f[..., None]
-            )
-            + nn.Dense(self.cfg.source_channels, dtype=dt, name="f0_in")(
-                _log_f0_feature(f0)
-            )
+            torch_dense(ch, content.shape[-1], dtype=dt, name="content_in")(content)
+            + torch_dense(ch, 1, dtype=dt, name="energy_in")(energy_f[..., None])
+            + torch_dense(ch, 1, dtype=dt, name="f0_in")(_log_f0_feature(f0))
         )
         for i in range(self.cfg.source_num_layers):
             x = ConvNeXtLayer(
@@ -151,8 +150,15 @@ class SourceNet(nn.Module):
         # elu + 1 keeps both heads positive with nonvanishing gradient
         # (reference `decoder.py:132-133`). Heads in fp32: they feed the DSP.
         x = x.astype(jnp.float32)
-        amps = jax.nn.elu(nn.Dense(self.cfg.num_harmonics + 1, name="to_amps")(x)) + 1.0
-        kernel = jax.nn.elu(nn.Dense(self.audio.fft_bin, name="to_kernel")(x)) + 1.0
+        amps = (
+            jax.nn.elu(
+                torch_dense(self.cfg.num_harmonics + 1, ch, name="to_amps")(x)
+            )
+            + 1.0
+        )
+        kernel = (
+            jax.nn.elu(torch_dense(self.audio.fft_bin, ch, name="to_kernel")(x)) + 1.0
+        )
         return amps, kernel
 
 
@@ -169,7 +175,7 @@ class Downsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
         x = downsample_time_int(x, self.factor)
-        res = nn.Dense(self.out_features, dtype=self.dtype, name="down_res")(x)
+        res = torch_dense(self.out_features, c_in, dtype=self.dtype, name="down_res")(x)
         im = self.conv_impl
         x = nn.leaky_relu(x, 0.1)
         x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, impl=im, name="c1")(x)
@@ -210,7 +216,7 @@ class Upsample(nn.Module):
         x = Conv1d(c_in, 3, dilation=27, dtype=self.dtype, impl=im, name="c4")(x)
         x = FiLM(dtype=self.dtype, name="film2")(x, cond)
         x = x + res
-        return nn.Dense(self.out_features, dtype=self.dtype, name="c5")(x)
+        return torch_dense(self.out_features, c_in, dtype=self.dtype, name="c5")(x)
 
 
 class FilterNet(nn.Module):
@@ -234,9 +240,11 @@ class FilterNet(nn.Module):
         factors = list(self.cfg.filter_factors)
         dt = jnp.dtype(self.cfg.compute_dtype)
 
-        x = nn.Dense(channels[0], dtype=dt, name="content_in")(content) + nn.Dense(
-            channels[0], dtype=dt, name="f0_in"
-        )(_log_f0_feature(f0))
+        x = torch_dense(
+            channels[0], content.shape[-1], dtype=dt, name="content_in"
+        )(content) + torch_dense(channels[0], 1, dtype=dt, name="f0_in")(
+            _log_f0_feature(f0)
+        )
 
         src = jnp.concatenate([source, energy[..., None]], axis=-1)
 

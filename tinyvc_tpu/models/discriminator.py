@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ..config import DiscriminatorConfig
 from ..dsp.stft import stft_magnitude
+from .layers import torch_bias_init, torch_kernel_init
 
 
 class WNConv2d(nn.Module):
@@ -36,11 +37,24 @@ class WNConv2d(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cin = x.shape[-1]
+        # torch init: conv weight kaiming_uniform(a=sqrt(5)); weight_norm
+        # then reparametrises the SAME tensor as v=w, g=||w|| per output
+        # channel (`/root/reference/module/tinyvc/discriminator.py:14,80`),
+        # so the effective initial weight equals the plain conv init.
         v = self.param(
-            "v", nn.initializers.he_normal(), (kh, kw, cin, self.features), x.dtype
+            "v", torch_kernel_init(), (kh, kw, cin, self.features), x.dtype
         )
-        g = self.param("g", nn.initializers.ones, (self.features,), x.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
+        g = self.param(
+            "g",
+            lambda key, shape, dtype=x.dtype: jnp.sqrt(
+                jnp.sum(v * v, axis=(0, 1, 2))
+            ).astype(dtype),
+            (self.features,),
+            x.dtype,
+        )
+        bias = self.param(
+            "bias", torch_bias_init(kh * kw * cin), (self.features,), x.dtype
+        )
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
         w = v / norm * g
         ph, pw = self.padding

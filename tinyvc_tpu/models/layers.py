@@ -15,11 +15,44 @@ differences from the reference, deliberate for TPU:
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def torch_kernel_init():
+    """torch's Linear/Conv default ``kaiming_uniform_(a=sqrt(5))``:
+    U(+-sqrt(1/fan_in)). Matching the reference's init distributions keeps
+    from-scratch training dynamics comparable (flax's lecun-normal default
+    has a different scale and no heavy-ish uniform tails)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch's Linear/Conv default bias init: U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_dense(
+    features: int, in_features: int, dtype=jnp.float32, name: str | None = None
+) -> nn.Dense:
+    """``nn.Dense`` with torch's default init; the param tree is identical to
+    a plain Dense (checkpoint/weight-transfer compatible)."""
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        name=name,
+        kernel_init=torch_kernel_init(),
+        bias_init=torch_bias_init(in_features),
+    )
 
 
 def replicate_pad_time(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
@@ -41,13 +74,14 @@ class DepthwiseConv1d(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, d = self.kernel_size, self.dilation
         pad = (k * d - d) // 2
+        # torch depthwise fan_in = k (in_channels/groups = 1)
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_kernel_init(),
             (k, 1, self.features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = self.param("bias", torch_bias_init(k), (self.features,), jnp.float32)
         x = replicate_pad_time(x.astype(self.dtype), pad, pad)
         y = jax.lax.conv_general_dilated(
             x,
@@ -90,11 +124,13 @@ class Conv1d(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_kernel_init(),
             (k, in_features, self.features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = self.param(
+            "bias", torch_bias_init(k * in_features), (self.features,), jnp.float32
+        )
         x = x.astype(self.dtype)
         impl = self.impl
         if impl == "auto":
@@ -259,7 +295,9 @@ class ConvNeXtLayer(nn.Module):
             name="dw",
         )(x)
         x = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(self.channels * self.mlp_mul, dtype=self.dtype, name="pw1")(x)
+        x = torch_dense(
+            self.channels * self.mlp_mul, self.channels, dtype=self.dtype, name="pw1"
+        )(x)
         x = exact_gelu(x)
         x = GRN(
             dtype=self.dtype,
@@ -267,7 +305,9 @@ class ConvNeXtLayer(nn.Module):
             time_halo=self.grn_time_halo,
             name="grn",
         )(x)
-        x = nn.Dense(self.channels, dtype=self.dtype, name="pw2")(x)
+        x = torch_dense(
+            self.channels, self.channels * self.mlp_mul, dtype=self.dtype, name="pw2"
+        )(x)
         return x + res
 
 
@@ -285,7 +325,9 @@ class ConvNeXtStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.channels, dtype=self.dtype, name="input_layer")(x)
+        x = torch_dense(
+            self.channels, x.shape[-1], dtype=self.dtype, name="input_layer"
+        )(x)
         x = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
         for i, d in enumerate(self.dilations):
             x = ConvNeXtLayer(
@@ -294,7 +336,9 @@ class ConvNeXtStack(nn.Module):
                 grn_time_halo=self.grn_time_halo,
                 name=f"layer_{i}",
             )(x)
-        return nn.Dense(self.out_features, dtype=self.dtype, name="output_layer")(x)
+        return torch_dense(
+            self.out_features, self.channels, dtype=self.dtype, name="output_layer"
+        )(x)
 
 
 class FiLM(nn.Module):
@@ -305,6 +349,6 @@ class FiLM(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        scale = nn.Dense(c, dtype=self.dtype, name="to_scale")(cond)
-        shift = nn.Dense(c, dtype=self.dtype, name="to_shift")(cond)
+        scale = torch_dense(c, cond.shape[-1], dtype=self.dtype, name="to_scale")(cond)
+        shift = torch_dense(c, cond.shape[-1], dtype=self.dtype, name="to_shift")(cond)
         return x * scale + shift

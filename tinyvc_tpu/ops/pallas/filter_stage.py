@@ -1,16 +1,34 @@
-"""Pallas TPU kernel: fused FilterNet Upsample conv chain.
+"""Pallas TPU kernel: fused FilterNet Upsample conv chain (v4, transposed).
 
 The Upsample body (reference `module/tinyvc/decoder.py:160-190`) is four
 dilated k=3 convs, two FiLM modulations, two residual adds, and an output
 1x1 — under XLA each op round-trips its [B, T, C] activation through HBM
-(~12 tensor passes per stage at waveform rate). This kernel keeps the whole
-chain VMEM-resident: each grid step sees one time tile plus its neighbour
-tiles (three block-aligned views — Mosaic cannot slice a 24-lane dim, so
-halos come from whole neighbour blocks), assembles tile+halo in VMEM, runs
-the chain with ``pltpu.roll`` for the conv taps, and writes only the output
-tile.
+(~12 tensor passes per stage at waveform rate, ~10% MXU utilisation from
+the 24-384 channel widths). This kernel keeps the whole chain VMEM-resident
+so each stage costs ~3 HBM passes (read packed input, write out).
 
-Roll wrap-around garbage corrupts at most sum(2d) = 80 edge rows of the
+Layout is the whole story (v1 lost 62 vs 38 ms to XLA on operand-view
+DMA/VMEM blowup; v3 fixed the DMA but only TIED XLA at 33.6 ms because a
+channels-last [W, 24] tile pads its lane dim to 128 — 5.3x wasted VPU work
+and VMEM traffic on every roll/concat/add). v4 runs **channels-first**
+inside the kernel:
+
+- tiles are ``[C, W]``: channels on sublanes (8-granular — every FilterNet
+  width 24/48/96/192/384 pads to at most 33%), time on lanes. All VPU ops
+  and VMEM spills shrink ~4-5x vs channels-last.
+- ``xu`` and ``cond`` are packed host-side into ONE ``[B, 2C, Tp]`` array
+  (a channel concat, no zero-fill); each grid step issues a single
+  double-buffered DMA of a ``[2C, t_blk + 2*HALO]`` window from ANY/HBM
+  into VMEM scratch, overlapping the next window's DMA with compute. The
+  window's minor (time) dim offsets/sizes are 128-aligned by construction
+  (t_blk multiple of 128, HALO = 128).
+- ``x = z[:C]``, ``c = z[C:]`` are plain sublane slices (offsets multiple
+  of 8 — legal and cheap), films are one ``[4C, C] @ [C, W]`` matmul, conv
+  taps are 32-bit lane rotates (``pltpu.roll`` axis 1), tap stacking is a
+  sublane concat, and each conv is one ``[C, 3C] @ [3C, W]`` matmul.
+- MXU inputs are bf16 in the serving profile; VPU-side values stay fp32.
+
+Roll wrap-around garbage corrupts at most sum(2d) = 80 edge lanes of the
 work buffer, inside the HALO band, and is cropped. At the sequence ends the
 halo holds edge-replicated *input* rather than each conv's own replicate
 padding, so the outermost ~80 output samples may deviate slightly from the
@@ -29,33 +47,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DILATIONS = (1, 3, 9, 27)
-HALO = 128  # > 2*(1+3+9+27) = 80, multiple of 8
+HALO = 128  # > 2*(1+3+9+27) = 80; multiple of 128 for aligned DMA windows
 
 
-def _chain(x, c, wconv, bconv, wfilm, bfilm, w5, b5, dtype):
-    """The Upsample body on a [W, C] tile. wconv: [4, 3C, C];
-    wfilm: [4, C, C] as (scale1, shift1, scale2, shift2)."""
+def _chain(z, wconv, bconv, wfilm, bfilm, w5, b5, dtype):
+    """The Upsample body on a packed [2C, W] tile (channels-first).
+
+    wconv: [4, C, 3C] (transposed taps); wfilm: [4C, C] packed
+    (scale1 | shift1 | scale2 | shift2) rows; w5: [Co, C].
+    ``dtype`` is the MXU input dtype — VPU values stay fp32."""
+    C = z.shape[0] // 2
+    x = z[:C].astype(jnp.float32)
+    c = z[C:].astype(dtype)
+
+    films = (
+        jnp.dot(wfilm, c, preferred_element_type=jnp.float32) + bfilm
+    )  # [4C, W] fp32
 
     def conv(h, wi, bi, d):
-        hm = pltpu.roll(h, d, 0)
-        hp = pltpu.roll(h, h.shape[0] - d, 0)  # negative shifts unsupported
-        hu = jnp.concatenate([hm, h, hp], axis=-1)
-        return (
-            jnp.dot(hu, wi, preferred_element_type=jnp.float32).astype(dtype) + bi
-        )
-
-    def film(h, j):
-        scale = (
-            jnp.dot(c, wfilm[2 * j], preferred_element_type=jnp.float32).astype(dtype)
-            + bfilm[2 * j]
-        )
-        shift = (
-            jnp.dot(c, wfilm[2 * j + 1], preferred_element_type=jnp.float32).astype(
-                dtype
-            )
-            + bfilm[2 * j + 1]
-        )
-        return h * scale + shift
+        W = h.shape[1]
+        hm = pltpu.roll(h, d, 1)  # hm[:, t] = h[:, t-d]
+        hp = pltpu.roll(h, W - d, 1)  # negative shifts unsupported
+        hu = jnp.concatenate([hm, h, hp], axis=0)  # [3C, W] sublane concat
+        return jnp.dot(
+            wi, hu.astype(dtype), preferred_element_type=jnp.float32
+        ) + bi
 
     def lrelu(h):
         return jnp.where(h > 0, h, 0.1 * h)
@@ -65,130 +81,173 @@ def _chain(x, c, wconv, bconv, wfilm, bfilm, w5, b5, dtype):
     h = conv(h, wconv[0], bconv[0], DILATIONS[0])
     h = lrelu(h)
     h = conv(h, wconv[1], bconv[1], DILATIONS[1])
-    h = film(h, 0)
+    h = h * films[0:C] + films[C : 2 * C]
     h = h + res
     res = h
     h = lrelu(h)
     h = conv(h, wconv[2], bconv[2], DILATIONS[2])
     h = lrelu(h)
     h = conv(h, wconv[3], bconv[3], DILATIONS[3])
-    h = film(h, 1)
+    h = h * films[2 * C : 3 * C] + films[3 * C : 4 * C]
     h = h + res
-    return jnp.dot(h, w5, preferred_element_type=jnp.float32).astype(dtype) + b5
-
-
-def _assemble(prev_ref, cur_ref, next_ref, t_blk):
-    """[tile + halo] from three neighbour blocks: [W, C]."""
-    return jnp.concatenate(
-        [prev_ref[0, t_blk - HALO :], cur_ref[0], next_ref[0, :HALO]], axis=0
-    )
+    return jnp.dot(w5, h.astype(dtype), preferred_element_type=jnp.float32) + b5
 
 
 def _kernel(
-    xu_prev, xu_cur, xu_next,  # [1, t_blk, C] VMEM views
-    c_prev, c_cur, c_next,
-    wconv_ref,  # [4, 3C, C]
-    bconv_ref,  # [4, 1, C]
-    wfilm_ref,  # [4, C, C]
-    bfilm_ref,  # [4, 1, C]
-    w5_ref,  # [C, Co]
-    b5_ref,  # [1, Co]
-    out_ref,  # [1, t_blk, Co]
+    xz_hbm,  # [B, 2C, Tp] ANY (time-padded: HALO front, HALO+align back)
+    wconv_ref,  # [4, C, 3C] VMEM
+    bconv_ref,  # [4, C, 1]
+    wfilm_ref,  # [4C, C]
+    bfilm_ref,  # [4C, 1]
+    w5_ref,  # [Co, C]
+    b5_ref,  # [Co, 1]
+    out_ref,  # [1, Co, t_blk] VMEM (auto-pipelined)
+    buf,  # VMEM scratch [2, 2C, W]
+    sems,  # DMA sems [2]
     *,
     t_blk: int,
+    nt: int,
     dtype,
 ):
-    x = _assemble(xu_prev, xu_cur, xu_next, t_blk).astype(dtype)
-    c = _assemble(c_prev, c_cur, c_next, t_blk).astype(dtype)
+    W = t_blk + 2 * HALO
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    step = b * nt + i
+    slot = jax.lax.rem(step, 2)
+
+    def dma(slot_idx, bb, ii):
+        # window [ii*t_blk, ii*t_blk + W) in padded time coords
+        return pltpu.make_async_copy(
+            xz_hbm.at[bb, :, pl.ds(ii * t_blk, W)],
+            buf.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(step == 0)
+    def _():  # warm-up: fetch the first window synchronously
+        dma(slot, b, i).start()
+
+    dma(slot, b, i).wait()
+
+    # prefetch the next grid step's window into the other slot
+    last = step == pl.num_programs(0) * nt - 1
+    nb = jnp.where(i + 1 < nt, b, b + 1)
+    ni = jnp.where(i + 1 < nt, i + 1, 0)
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        dma(1 - slot, nb, ni).start()
+
     wconv = [wconv_ref[j].astype(dtype) for j in range(4)]
-    bconv = [bconv_ref[j].astype(dtype) for j in range(4)]
-    wfilm = [wfilm_ref[j].astype(dtype) for j in range(4)]
-    bfilm = [bfilm_ref[j].astype(dtype) for j in range(4)]
+    bconv = [bconv_ref[j].astype(jnp.float32) for j in range(4)]
     out = _chain(
-        x, c, wconv, bconv, wfilm, bfilm,
-        w5_ref[:].astype(dtype), b5_ref[:].astype(dtype), dtype,
+        buf[slot], wconv, bconv,
+        wfilm_ref[:].astype(dtype), bfilm_ref[:].astype(jnp.float32),
+        w5_ref[:].astype(dtype), b5_ref[:].astype(jnp.float32), dtype,
     )
-    out_ref[0] = out[HALO : HALO + t_blk].astype(out_ref.dtype)
+    out_ref[0] = out[:, HALO : HALO + t_blk].astype(out_ref.dtype)
 
 
 def upsample_params_to_tuple(p: Dict[str, Any]):
-    """Flax Upsample params -> stacked kernel weight arrays."""
+    """Flax Upsample params -> transposed/stacked kernel weight arrays."""
     wconv = jnp.stack(
         [
-            p[name]["kernel"].reshape(-1, p[name]["kernel"].shape[-1])
+            p[name]["kernel"].reshape(-1, p[name]["kernel"].shape[-1]).T
             for name in ("c1", "c2", "c3", "c4")
         ]
-    )  # [4, 3C, C]
+    )  # [4, C, 3C]
     bconv = jnp.stack([p[name]["bias"] for name in ("c1", "c2", "c3", "c4")])[
-        :, None, :
-    ]
-    wfilm = jnp.stack(
+        :, :, None
+    ]  # [4, C, 1]
+    wfilm = jnp.concatenate(
         [
-            p["film1"]["to_scale"]["kernel"],
-            p["film1"]["to_shift"]["kernel"],
-            p["film2"]["to_scale"]["kernel"],
-            p["film2"]["to_shift"]["kernel"],
-        ]
-    )
-    bfilm = jnp.stack(
+            p["film1"]["to_scale"]["kernel"].T,
+            p["film1"]["to_shift"]["kernel"].T,
+            p["film2"]["to_scale"]["kernel"].T,
+            p["film2"]["to_shift"]["kernel"].T,
+        ],
+        axis=0,
+    )  # [4C, C]
+    bfilm = jnp.concatenate(
         [
             p["film1"]["to_scale"]["bias"],
             p["film1"]["to_shift"]["bias"],
             p["film2"]["to_scale"]["bias"],
             p["film2"]["to_shift"]["bias"],
         ]
-    )[:, None, :]
-    w5 = p["c5"]["kernel"]
-    b5 = p["c5"]["bias"][None, :]
+    )[:, None]  # [4C, 1]
+    w5 = p["c5"]["kernel"].T  # [Co, C]
+    b5 = p["c5"]["bias"][:, None]  # [Co, 1]
     return wconv, bconv, wfilm, bfilm, w5, b5
 
 
 @functools.partial(jax.jit, static_argnames=("dtype_name", "interpret", "t_blk"))
-def fused_upsample_chain(
-    xu: jnp.ndarray,
-    cond: jnp.ndarray,
+def fused_upsample_chain_t(
+    xu_t: jnp.ndarray,
+    cond_t: jnp.ndarray,
     wconv, bconv, wfilm, bfilm, w5, b5,
-    dtype_name: str = "float32",
-    t_blk: int = 4096,
+    dtype_name: str = "bfloat16",
+    t_blk: int = 8192,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """xu, cond: [B, T, C] (already upsampled) -> [B, T, Co].
+    """Channels-first entry: xu_t, cond_t [B, C, T] -> [B, Co, T].
 
-    Equivalent to the Upsample body after its interpolation step.
+    Equivalent to the Upsample body after its interpolation step; chained
+    stages stay transposed end-to-end (`ops/fused_filternet.py`).
     """
+    assert t_blk % 128 == 0, "time tiles must stay 128-aligned"
     dtype = jnp.dtype(dtype_name)
-    B, T, C = xu.shape
-    Co = w5.shape[-1]
-    # edge-pad a whole block on each side (provides prev/next for the edge
-    # tiles) plus tail alignment
+    B, C, T = xu_t.shape
+    Co = w5.shape[0]
     align = (-T) % t_blk
-    xu_p = jnp.pad(xu, ((0, 0), (t_blk, t_blk + align), (0, 0)), mode="edge")
-    cond_p = jnp.pad(cond, ((0, 0), (t_blk, t_blk + align), (0, 0)), mode="edge")
+    xz = jnp.concatenate([xu_t, cond_t], axis=1)  # [B, 2C, T]
+    xz = jnp.pad(xz, ((0, 0), (0, 0), (HALO, HALO + align)), mode="edge")
+    if dtype != xz.dtype:
+        xz = xz.astype(dtype)
     nt = (T + align) // t_blk
+    W = t_blk + 2 * HALO
 
-    kernel = functools.partial(_kernel, t_blk=t_blk, dtype=dtype)
-    blk = lambda off: pl.BlockSpec(  # noqa: E731
-        (1, t_blk, C), lambda b, i, off=off: (b, i + off, 0),
-        memory_space=pltpu.VMEM,
+    kernel = functools.partial(_kernel, t_blk=t_blk, nt=nt, dtype=dtype)
+    wspec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
         grid=(B, nt),
         in_specs=[
-            blk(0), blk(1), blk(2),  # xu prev/cur/next
-            blk(0), blk(1), blk(2),  # cond prev/cur/next
-            pl.BlockSpec((4, wconv.shape[1], C), lambda b, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, C), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, C, C), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, C), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, Co), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Co), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            wspec(4, C, 3 * C),
+            wspec(4, C, 1),
+            wspec(4 * C, C),
+            wspec(4 * C, 1),
+            wspec(Co, C),
+            wspec(Co, 1),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_blk, Co), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, Co, t_blk), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T + align, Co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Co, T + align), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * C, W), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(xu_p, xu_p, xu_p, cond_p, cond_p, cond_p, wconv, bconv, wfilm, bfilm, w5, b5)
-    return out[:, :T]
+    )(xz, wconv, bconv, wfilm, bfilm, w5, b5)
+    return out[:, :, :T]
+
+
+def fused_upsample_chain(
+    xu: jnp.ndarray,
+    cond: jnp.ndarray,
+    wconv, bconv, wfilm, bfilm, w5, b5,
+    dtype_name: str = "bfloat16",
+    t_blk: int = 8192,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Channels-last convenience wrapper: xu, cond [B, T, C] -> [B, T, Co]."""
+    out = fused_upsample_chain_t(
+        jnp.swapaxes(xu, 1, 2), jnp.swapaxes(cond, 1, 2),
+        wconv, bconv, wfilm, bfilm, w5, b5,
+        dtype_name=dtype_name, t_blk=t_blk, interpret=interpret,
+    )
+    return jnp.swapaxes(out, 1, 2)

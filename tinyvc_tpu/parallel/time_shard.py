@@ -42,6 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import TinyVCConfig
 from ..dsp import estimate_energy, shift_frequency, spectrogram
+from ..dsp.phase import wrapped_exclusive_prefix
 from ..dsp.interp import linear_interp_last, upsample_frames_to_samples
 from ..models import Decoder, Encoder
 from ..models.decoder import oscillate_harmonics, oscillate_noise
@@ -103,14 +104,22 @@ def time_sharded_convert(
         cfg.decoder, cfg.audio, time_axis_name=axis, time_halo=M
     )
 
-    # edge-replicated halo at the waveform level
-    wave_p = jnp.concatenate(
-        [
-            jnp.broadcast_to(wave[:1], (H * hop,)),
-            wave,
-            jnp.broadcast_to(wave[-1:], (H * hop,)),
-        ]
-    )
+    # utterance-level halo padding. Reflect (torch-stft center=True
+    # convention) keeps the edge shards' core spectrogram frames identical
+    # to the standard unsharded pipeline — a constant pad perturbs the
+    # outermost encoder frames, and an edge-frame f0 difference shifts the
+    # GLOBAL harmonic phase constant (the prefix integrates from frame 0).
+    pad = H * hop
+    if pad < L:
+        wave_p = jnp.pad(wave, (pad, pad), mode="reflect")
+    else:  # degenerate: utterance shorter than the halo
+        wave_p = jnp.concatenate(
+            [
+                jnp.broadcast_to(wave[:1], (pad,)),
+                wave,
+                jnp.broadcast_to(wave[-1:], (pad,)),
+            ]
+        )
     win = (seg + 2 * H) * hop
     windows = jnp.stack(
         [
@@ -146,10 +155,12 @@ def time_sharded_convert(
         frame_sums = (
             c_prev * f0_pad[:-2] + c_cur * f0_pad[1:-1] + c_next * f0_pad[2:]
         ) / cfg.audio.sample_rate  # [F]
-        # wrap mod 1 before the prefix to keep fp32 exact over long signals
+        # hierarchical mod-1 prefix (same scheme as oscillate_harmonics):
+        # accurate over multi-hour signals, bit-identical to a flat cumsum
+        # within the first 256-frame group (the seed cancellation below
+        # integrates < 256 margin frames, so it stays exact)
         frame_sums = jnp.mod(frame_sums, 1.0)
-        prefix = jnp.cumsum(frame_sums) - frame_sums  # exclusive
-        prefix = jnp.mod(prefix, 1.0)
+        prefix = wrapped_exclusive_prefix(frame_sums[None])[0]
 
         # ---- source window [H-M, H+seg+M) ----
         sw0 = H - M
@@ -185,8 +196,9 @@ def time_sharded_convert(
         d_m = (f0w_m / cfg.audio.sample_rate).reshape(1, M + 4, hop)
         msums = jnp.cumsum(d_m, axis=-1)[..., -1]  # [1, M+4]
         ms_mod = msums - jnp.floor(msums)
-        local_off = jnp.sum(ms_mod[0, : M + 2])
-        local_off = local_off - jnp.floor(local_off)
+        # replicate the oscillator's own wrapped-scan prefix at frame M+2
+        # (bit-exact: same helper, same inputs, margin < one prefix group)
+        local_off = wrapped_exclusive_prefix(ms_mod)[0, M + 2]
         phase0 = jnp.mod(prefix[i * seg + 1] - local_off, 1.0)
         harm = oscillate_harmonics(
             f0_h, hop, cfg.audio.sample_rate, cfg.decoder.num_harmonics,
