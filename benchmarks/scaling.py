@@ -80,10 +80,62 @@ def bench_convert(n_devices: int, per_device_batch: int = 4, seconds: float = 2.
     return audio_sec / dt, audio_sec / dt / n_devices
 
 
+def bench_train(n_devices: int, global_batch: int = 8, seconds: float = 1.0):
+    """DP GAN train step (post-join, both players) steps/s over the mesh.
+
+    Reference training shape: `/root/reference/train_decoder.py:87-168`
+    (batch 16, 2 s chunks); batch and chunk length are scaled down so the
+    virtual CPU mesh finishes in minutes. The GLOBAL batch is fixed (strong
+    scaling): on the virtual mesh every "device" shares one host's cores, so
+    ideal steps/s is flat across device counts and any drop isolates the
+    sharding/collective overhead — a fixed per-device batch would instead
+    measure CPU oversubscription. Absolute step time on chip is measured by
+    benchmarks/train_bench.py."""
+    import dataclasses
+
+    from tinyvc_tpu.config import TinyVCConfig
+    from tinyvc_tpu.parallel import make_mesh, replicate, shard_batch
+    from tinyvc_tpu.train import decoder_train, encoder_train
+
+    L = int(seconds * 24000) // 480 * 480
+    cfg = TinyVCConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, chunk_length=L, disc_crop=min(8000, L)),
+    )
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(data=n_devices, model=1, devices=devices)
+    if global_batch % n_devices:
+        raise ValueError(f"global batch {global_batch} not divisible by {n_devices}")
+    B = global_batch
+    rng = np.random.default_rng(0)
+
+    with jax.set_mesh(mesh):
+        _, enc_state = encoder_train.init_state(cfg, jax.random.PRNGKey(0))
+        gan_state = decoder_train.init_state(cfg, jax.random.PRNGKey(1))
+        enc_params = replicate(enc_state.params, mesh)
+        gan_state = replicate(gan_state, mesh)
+        wave = shard_batch(
+            rng.standard_normal((B, L)).astype(np.float32) * 0.1, mesh
+        )
+        step = decoder_train.make_train_step(cfg, d_join=True)
+
+        def fn(state, enc_p, wave, key):
+            state, metrics = step(state, enc_p, wave, key)
+            return metrics["loss_g"]
+
+        dt = time_fn(fn, gan_state, enc_params, wave, jax.random.PRNGKey(2))
+    return 1.0 / dt, 1.0 / dt / n_devices
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", default=None)
     p.add_argument("--per-device-batch", type=int, default=4)
+    p.add_argument("--global-batch", type=int, default=8,
+                   help="fixed global batch for --train (strong scaling)")
+    p.add_argument("--train", action="store_true",
+                   help="measure the DP GAN train step instead of conversion")
     args = p.parse_args()
 
     n_avail = len(jax.devices())
@@ -97,15 +149,24 @@ def main():
     results = []
     base_per_dev = None
     for n in counts:
-        total, per_dev = bench_convert(n, args.per_device_batch)
+        if args.train:
+            total, per_dev = bench_train(n, global_batch=args.global_batch)
+            total_key, per_key = "steps_per_s", "steps_per_s_per_device"
+            # fixed global batch: ideal total steps/s is flat; efficiency is
+            # the total-throughput ratio to the 1-device run
+            eff_basis = total
+        else:
+            total, per_dev = bench_convert(n, args.per_device_batch)
+            total_key, per_key = "rtf_total", "rtf_per_device"
+            eff_basis = per_dev
         if base_per_dev is None:
-            base_per_dev = per_dev
-        eff = per_dev / base_per_dev
+            base_per_dev = eff_basis
+        eff = eff_basis / base_per_dev
         results.append(
             {
                 "devices": n,
-                "rtf_total": round(total, 1),
-                "rtf_per_device": round(per_dev, 1),
+                total_key: round(total, 3),
+                per_key: round(per_dev, 3),
                 "efficiency": round(eff, 3),
             }
         )
