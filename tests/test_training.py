@@ -160,3 +160,50 @@ def test_tiny_gan_50_steps_trains_both_players(rng):
     # nothing diverges
     for k, v in hist.items():
         assert np.isfinite(v).all(), k
+
+
+def test_remat_gan_step_matches_standard(rng):
+    """decoder.remat recomputes U-Net activations under grad; the step must
+    be bit-compatible with the standard step (same params tree, same losses,
+    same updated weights to fp tolerance)."""
+    import dataclasses
+
+    cfg = small_config()
+    rcfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, remat=True)
+    )
+    key = jax.random.PRNGKey(0)
+    state = decoder_train.init_state(cfg, key)
+    rstate = decoder_train.init_state(rcfg, key)
+    # identical parameter trees (remat is a lifted transform, not a rewiring)
+    assert jax.tree_util.tree_structure(state.gen_params) == (
+        jax.tree_util.tree_structure(rstate.gen_params)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.gen_params),
+        jax.tree_util.tree_leaves(rstate.gen_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    _, enc_state = __import__(
+        "tinyvc_tpu.train.encoder_train", fromlist=["init_state"]
+    ).init_state(cfg, jax.random.PRNGKey(3))
+    wave = jnp.asarray(
+        rng.standard_normal((2, cfg.train.chunk_length)).astype(np.float32) * 0.1
+    )
+    k = jax.random.PRNGKey(7)
+    step = decoder_train.make_train_step(cfg, d_join=True)
+    rstep = decoder_train.make_train_step(rcfg, d_join=True)
+    state1, m = step(state, enc_state.params, wave, k)
+    rstate1, rm = rstep(rstate, enc_state.params, wave, k)
+    for name in ("loss_g", "loss_d", "loss_spec"):
+        np.testing.assert_allclose(
+            float(m[name]), float(rm[name]), rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.gen_params),
+        jax.tree_util.tree_leaves(rstate1.gen_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

@@ -21,12 +21,20 @@ def main(argv=None):
     p.add_argument("--weight-dsp", default=1.0, type=float)
     p.add_argument("--weight-spec", default=1.0, type=float)
     p.add_argument("--weight-feat", default=2.0, type=float)
+    p.add_argument(
+        "--remat", action="store_true",
+        help="recompute U-Net activations in backward (fit bigger batches)",
+    )
     args = p.parse_args(argv)
 
     from ..config import TinyVCConfig
     from ..train.loop import train_decoder
 
     cfg = TinyVCConfig()
+    if args.remat:
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, remat=True)
+        )
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(

@@ -71,6 +71,12 @@ class DecoderConfig:
     # conv lowering for the U-Net: 'unfold' (k shifted views + one matmul,
     # fastest measured), 'taps', 'phased', 'lax'
     conv_impl: str = "unfold"
+    # rematerialise the U-Net's Down/Upsample blocks under grad
+    # (jax.checkpoint): trades recompute FLOPs for the waveform-rate
+    # activation memory that dominates the GAN step's HBM footprint —
+    # enables bigger batches / longer chunks per chip. Off by default
+    # (inference and default training fit comfortably).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -248,7 +248,11 @@ class FilterNet(nn.Module):
 
         src = jnp.concatenate([source, energy[..., None]], axis=-1)
 
-        # down path: stem conv at waveform rate, then 4 Downsamples
+        # down path: stem conv at waveform rate, then 4 Downsamples.
+        # remat: each block's interior activations (10+ waveform-rate tensors)
+        # are recomputed in the backward pass instead of held in HBM
+        Down = nn.remat(Downsample) if self.cfg.remat else Downsample
+        Up = nn.remat(Upsample) if self.cfg.remat else Upsample
         im = self.cfg.conv_impl
         skips = []
         src = Conv1d(channels[-1], 3, dtype=dt, impl=im, name="down_0")(src)
@@ -257,13 +261,13 @@ class FilterNet(nn.Module):
         ns = cs[1:] + [channels[0]]
         fs = list(reversed(factors[1:]))
         for i, (n, f) in enumerate(zip(ns, fs)):
-            src = Downsample(n, f, dtype=dt, conv_impl=im, name=f"down_{i + 1}")(src)
+            src = Down(n, f, dtype=dt, conv_impl=im, name=f"down_{i + 1}")(src)
             skips.append(src)
 
         # up path
         ns_up = channels[1:] + [channels[-1]]
         for i, (n, f) in enumerate(zip(ns_up, factors)):
-            x = Upsample(
+            x = Up(
                 n, f, dtype=dt, conv_impl=im, name=f"up_{i}"
             )(x, skips[len(skips) - 1 - i])
         out = Conv1d(1, 7, name="output_layer")(x)  # final conv fp32
