@@ -161,6 +161,30 @@ def main():
         )[:, :, 0],
         f0, amps, kern, dec_p, iters=iters, label="dsp (osc+noise)",
     )
+    if want("source_bf16") or want("dsp_bf16"):
+        # serving-dtype variants: the serving residual decomposes against
+        # these, not the fp32 rows
+        import dataclasses as _dc
+
+        _scfg = _dc.replace(cfg, decoder=_dc.replace(
+            cfg.decoder, compute_dtype="bfloat16"))
+        _sdec = Decoder(_scfg.decoder, _scfg.audio)
+        if want("source_bf16"):
+            results["source_bf16"] = timed_loop(
+                lambda i, c, z, f, e, p: _sdec.apply(
+                    p, z + c * 1e-20, f, e,
+                    method=lambda m, z_, f_, e_: m.source_net(z_, f_, e_),
+                )[0],
+                content, f0, energy, dec_p, iters=iters, label="source_net bf16",
+            )
+        if want("dsp_bf16"):
+            results["dsp_bf16"] = timed_loop(
+                lambda i, c, f, a, k_, p: _sdec.apply(
+                    p, f, a + c * 1e-20, k_, jax.random.fold_in(key, i),
+                    method=lambda m, f_, a_, kk, key_: m.dsp(f_, a_, kk, key_),
+                )[:, :, 0],
+                f0, amps, kern, dec_p, iters=iters, label="dsp (osc+noise) bf16",
+            )
     src = jnp.asarray(rng.standard_normal((B, L, 16)).astype(np.float32) * 0.3)
     if want("filter_net"):
         results["filter_net"] = timed_loop(
@@ -199,9 +223,31 @@ def main():
             content, f0, energy, src, dec_p, iters=iters,
             label="filter_net fused bf16",
         )
+    if want("convert"):
+        # the whole serving convert_fn (bench config3's program): the gap
+        # between this and the sum of per-stage rows is unaccounted glue
+        # (padding, pitch shift, resampling, stage-boundary materialisation)
+        from tinyvc_tpu.config import serving_config
+        from tinyvc_tpu.infer.generator import convert_fn as _convert
+
+        scfg = serving_config()
+        senc = Encoder(scfg.encoder)
+        sdec = Decoder(scfg.decoder, scfg.audio)
+        dict2048 = jnp.asarray(
+            rng.standard_normal((N, cfg.encoder.ssl_dim)).astype(np.float32)
+        )
+        results["convert"] = timed_loop(
+            lambda i, c, w, t, ep, dp: _convert(
+                senc, sdec, ep, dp, w + c * 1e-20, t, jnp.float32(0.0),
+                jax.random.fold_in(key, i), scfg,
+            ),
+            wave, dict2048, enc_p, dec_p, iters=iters,
+            label="convert_fn serving e2e",
+        )
     # pipeline total counts each stage once: the fused filternet when
-    # measured (the serving path), else the XLA fp32 filternet
-    alt = {"filter_xla_bf16"} | (
+    # measured (the serving path), else the XLA fp32 filternet; 'convert'
+    # is the whole pipeline and never part of the sum
+    alt = {"filter_xla_bf16", "convert", "source_bf16", "dsp_bf16"} | (
         {"filter_net"} if "filter_fused" in results else set()
     )
     total = sum(v for k, v in results.items() if k not in alt)

@@ -108,9 +108,29 @@ def main():
             dt = timed(
                 make_loop, (enc_state, wave, f0, teacher, jax.random.PRNGKey(3))
             )
+        # HLO-level FLOP count of ONE step (no extra device compile) for a
+        # stated %-of-roofline (VERDICT r1 item 4). v5e fp32 peak ~98 TFLOP/s
+        # (half the 197 bf16 MXU peak), matching benchmarks/breakdown.py.
+        pct = ""
+        try:
+            if name.startswith("gan"):
+                low = jax.jit(step).lower(
+                    gan_state, enc_state.params, wave, jax.random.PRNGKey(2)
+                )
+            else:
+                low = jax.jit(estep).lower(
+                    enc_state, wave, f0, teacher, jax.random.PRNGKey(3)
+                )
+            flops = low.cost_analysis()["flops"]
+            pct = (
+                f", {flops / 1e12:.2f} TFLOP/step = "
+                f"{flops / dt / 98e12 * 100:.1f}% of fp32 peak"
+            )
+        except Exception:
+            pass
         print(
             f"{name}: {dt * 1000:8.2f} ms/step  ({1.0 / dt:.2f} steps/s, "
-            f"batch {B} x {L / cfg.audio.sample_rate:.0f}s)",
+            f"batch {B} x {L / cfg.audio.sample_rate:.0f}s{pct})",
             flush=True,
         )
 
