@@ -28,22 +28,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: remote (axon-tunnelled) compiles cost 3-8
+# minutes per program; re-runs of the same configs then load in seconds.
+# The 60 s floor keeps host-CPU executables (param init) out of the cache —
+# XLA:CPU AOT entries are machine-feature-pinned and unsafe to reload.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 60.0)
+
 
 def timed(make_loop, args, iters: int = 16, reps: int = 3) -> float:
-    """Per-iteration seconds via two-loop-length differencing + float fetch."""
-    loop1, loopN = make_loop(1), make_loop(iters + 1)
-    float(loop1(*args))  # compile + warm
-    float(loopN(*args))
+    """Per-iteration seconds via two-loop-length differencing + float fetch.
 
-    def best(f):
+    ``make_loop()`` returns one jitted ``loop(n, *args)`` whose fori_loop
+    trip count ``n`` is a traced scalar (lowers to a while-loop): ONE
+    compile serves both loop lengths — remote compiles through the axon
+    tunnel are 3-8 min each, so this halves the cost of every config.
+    """
+    loop = make_loop()
+    n1 = jnp.int32(1)
+    nN = jnp.int32(iters + 1)
+    float(loop(n1, *args))  # compile + warm
+    float(loop(nN, *args))
+
+    def best(n):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(*args))
+            float(loop(n, *args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max(best(loopN) - best(loop1), 1e-9) / iters
+    return max(best(nN) - best(n1), 1e-9) / iters
 
 
 def main():
@@ -95,17 +110,25 @@ def main():
         results[name] = {"value": round(value, 2), "unit": unit}
         print(f"[bench] {name}: {value:.2f} {unit}", file=sys.stderr, flush=True)
         if run_all:  # persist incrementally: one failed config loses nothing
+            merged = {}
+            try:  # --configs=N partial runs must not clobber other configs
+                with open("BENCH_DETAIL.json") as f:
+                    merged = json.load(f)
+            except (OSError, ValueError):
+                pass
+            merged.update(results)
             with open("BENCH_DETAIL.json", "w") as f:
-                json.dump(results, f, indent=1)
+                json.dump(merged, f, indent=1)
 
-    def convert_rtf(B, seconds, pitch, iters=16):
+    def convert_rtf(B, seconds, pitch, iters=None):
+        iters = base_iters if iters is None else min(iters, base_iters)
         L = int(seconds * sr) // hop * hop
         wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
         ps = jnp.float32(pitch)
 
-        def make_loop(n):
+        def make_loop():
             @jax.jit
-            def loop(enc_p, dec_p, wave, target, ps, key):
+            def loop(n, enc_p, dec_p, wave, target, ps, key):
                 def body(i, carry):
                     out = convert_fn(
                         encoder, decoder, enc_p, dec_p, wave + carry * 1e-20,
@@ -122,9 +145,12 @@ def main():
         return B * L / sr / dt
 
     sel = None
+    base_iters = 16
     for a in sys.argv:
         if a.startswith("--configs="):
             sel = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--iters="):  # smoke runs (e.g. CPU verification)
+            base_iters = int(a.split("=", 1)[1])
 
     def wanted(n):
         return run_all and (sel is None or n in sel)
@@ -141,9 +167,9 @@ def main():
         # ---- config 1: encoder forward, batch 1 ----
         wave1 = jnp.asarray(rng.standard_normal((1, L1)).astype(np.float32) * 0.1)
 
-        def make_enc_loop(n):
+        def make_enc_loop():
             @jax.jit
-            def loop(enc_p, wave):
+            def loop(n, enc_p, wave):
                 def body(i, carry):
                     content, f0 = encode_fn(encoder, enc_p, wave + carry * 1e-20, cfg)
                     return jnp.mean(content) + jnp.mean(f0)
@@ -152,7 +178,7 @@ def main():
 
             return loop
 
-        dt = timed(make_enc_loop, (enc_params, wave1))
+        dt = timed(make_enc_loop, (enc_params, wave1), iters=base_iters)
         log("config1_encoder_rtf", L1 / sr / dt, "audio-s/s")
 
     if wanted("2"):
@@ -170,9 +196,9 @@ def main():
             np.abs(rng.standard_normal((B2, F2 * hop))).astype(np.float32) * 0.1
         )
 
-        def make_dec_loop(n):
+        def make_dec_loop():
             @jax.jit
-            def loop(dec_p, content, f0, energy, key):
+            def loop(n, dec_p, content, f0, energy, key):
                 def body(i, carry):
                     out = decoder.apply(
                         dec_p, content + carry * 1e-20, f0, energy,
@@ -184,7 +210,8 @@ def main():
 
             return loop
 
-        dt = timed(make_dec_loop, (dec_params, content, f0, energy, key))
+        dt = timed(make_dec_loop, (dec_params, content, f0, energy, key),
+                   iters=base_iters)
         log("config2_decoder_rtf", B2 * F2 * hop / sr / dt, "audio-s/s")
 
     if wanted("4"):
@@ -211,9 +238,9 @@ def main():
             rng.standard_normal((cfg.stream.block_size,)).astype(np.float32) * 0.1
         )
 
-        def make_stream_loop(n):
+        def make_stream_loop():
             @jax.jit
-            def loop(enc_p, dec_p, state, block, target):
+            def loop(n, enc_p, dec_p, state, block, target):
                 def body(i, carry):
                     st, acc = carry
                     st, out = step(
@@ -231,7 +258,7 @@ def main():
 
         dt = timed(
             make_stream_loop, (enc_params, dec_params, state0, block, target),
-            iters=16,
+            iters=base_iters,
         )
         ms = dt * 1000.0
         log("config5_stream_block_ms", ms, "ms/block")

@@ -61,6 +61,31 @@ def test_oscillator_bank_accuracy_vs_f64_truth(rng):
     assert err_kernel <= err_xla * 1.5 + 1e-3, (err_kernel, err_xla)
 
 
+def test_oscillator_bank_grad_matches_xla(rng):
+    """The GAN step backprops through `decoder.dsp` into SourceNet's amps
+    head; the kernel's custom_vjp routes the backward pass through the XLA
+    chain, so grads must match differentiating the XLA chain directly."""
+    B, F, H1 = 2, 16, 8
+    f0 = (np.abs(rng.standard_normal((B, F))) * 200 + 40).astype(np.float32)
+    amps = (np.abs(rng.standard_normal((B, F, H1))) + 0.2).astype(np.float32)
+    # a non-trivial cotangent: weighted sum of the output
+    w = rng.standard_normal((B, F * 480, H1)).astype(np.float32)
+
+    def loss_kernel(a):
+        out = oscillator_bank(
+            jnp.asarray(f0), a, 480, 24000, 20.0, interpret=True
+        )
+        return jnp.sum(out * w)
+
+    def loss_xla(a):
+        harm = oscillate_harmonics(jnp.asarray(f0), 480, 24000, H1 - 1, 20.0)
+        return jnp.sum(harm * upsample_frames_to_samples(a, 480) * w)
+
+    g_kernel = np.asarray(jax.grad(loss_kernel)(jnp.asarray(amps)))
+    g_xla = np.asarray(jax.grad(loss_xla)(jnp.asarray(amps)))
+    np.testing.assert_allclose(g_kernel, g_xla, rtol=1e-4, atol=1e-3)
+
+
 def test_oscillator_bank_carry_across_blocks(rng):
     """Phase must stay continuous across grid blocks: every block size must
     track the float64 ground truth to fp32 phase-jitter level (~1e-4 cycles

@@ -130,30 +130,15 @@ def _xla_fallback(f0, amps, frame_size, sample_rate, min_frequency):
     return harm * upsample_frames_to_samples(amps.astype(jnp.float32), frame_size)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "frame_size",
-        "sample_rate",
-        "min_frequency",
-        "frames_per_block",
-        "interpret",
-    ),
-)
-def oscillator_bank(
+def _pallas_forward(
     f0: jnp.ndarray,
     amps: jnp.ndarray,
-    frame_size: int = 480,
-    sample_rate: int = 24000,
-    min_frequency: float = 20.0,
-    frames_per_block: int = 24,
-    interpret: bool = False,
+    frame_size: int,
+    sample_rate: int,
+    min_frequency: float,
+    frames_per_block: int,
+    interpret: bool,
 ) -> jnp.ndarray:
-    """f0 [B, F], amps [B, F, H1] -> modulated harmonics [B, F*frame, H1].
-
-    Fused equivalent of
-    ``oscillate_harmonics(f0) * upsample_frames_to_samples(amps)``.
-    """
     B, F = f0.shape
     H1 = amps.shape[-1]
     # Tiling constraints: output lane dim P*frame % 128 == 0 and sublane
@@ -221,3 +206,73 @@ def oscillator_bank(
     )(f0_pcn, amps_pcn)
     out = out[:, :, :F].reshape(B, H1, F * frame_size)
     return jnp.swapaxes(out, 1, 2)  # [B, L, H1]
+
+
+# Differentiation: pallas_call has no JVP/transpose rules, so the GAN
+# training step (which backprops through `decoder.dsp` into SourceNet's
+# amps head) would fail with the kernel engaged. Wrap it in a custom_vjp:
+# forward = Pallas kernel, backward = vjp of the mathematically identical
+# XLA chain (recomputed from the saved frame-rate inputs — cheap, and the
+# [B, L, H1] residuals never need to be stored).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _osc(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret):
+    return _pallas_forward(
+        f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret
+    )
+
+
+def _osc_fwd(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret):
+    out = _pallas_forward(
+        f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret
+    )
+    return out, (f0, amps)
+
+
+def _osc_bwd(frame_size, sample_rate, min_frequency, frames_per_block, interpret, res, g):
+    f0, amps = res
+    _, vjp = jax.vjp(
+        lambda f, a: _xla_fallback(f, a, frame_size, sample_rate, min_frequency),
+        f0.astype(jnp.float32),
+        amps.astype(jnp.float32),
+    )
+    df0, damps = vjp(g.astype(jnp.float32))
+    return df0, damps
+
+
+_osc.defvjp(_osc_fwd, _osc_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_size",
+        "sample_rate",
+        "min_frequency",
+        "frames_per_block",
+        "interpret",
+    ),
+)
+def oscillator_bank(
+    f0: jnp.ndarray,
+    amps: jnp.ndarray,
+    frame_size: int = 480,
+    sample_rate: int = 24000,
+    min_frequency: float = 20.0,
+    frames_per_block: int = 24,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """f0 [B, F], amps [B, F, H1] -> modulated harmonics [B, F*frame, H1].
+
+    Fused equivalent of
+    ``oscillate_harmonics(f0) * upsample_frames_to_samples(amps)``.
+    Differentiable: backward runs through the XLA chain (custom_vjp above).
+    """
+    return _osc(
+        f0,
+        amps,
+        frame_size,
+        sample_rate,
+        min_frequency,
+        frames_per_block,
+        interpret,
+    )
