@@ -27,32 +27,31 @@ from tinyvc_tpu.ops import match_features
 def timed_loop(fn, *args, iters=20, label=""):
     """Differential in-graph timing: wall(iters+1 loop) - wall(1 loop),
     with a forced value fetch (block_until_ready under-reports through
-    tunneled backends). Returns seconds/iter."""
+    tunneled backends). The trip count is a traced scalar, so ONE compiled
+    program serves both loop lengths (remote compiles are 3-8 min each).
+    Returns seconds/iter."""
 
-    def make(n):
-        @jax.jit
-        def loop(*args):
-            def body(i, carry):
-                out = fn(i, carry, *args)
-                return jnp.mean(out)
+    @jax.jit
+    def loop(n, *args):
+        def body(i, carry):
+            out = fn(i, carry, *args)
+            return jnp.mean(out)
 
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        return loop
+    n1, nN = jnp.int32(1), jnp.int32(iters + 1)
+    float(loop(n1, *args))  # compile + warm
+    float(loop(nN, *args))
 
-    loop1, loopN = make(1), make(iters + 1)
-    float(loop1(*args))  # warm
-    float(loopN(*args))
-
-    def best(f, reps=3):
+    def best(n, reps=3):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(*args))
+            float(loop(n, *args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    dt = max(best(loopN) - best(loop1), 0.0) / iters
+    dt = max(best(nN) - best(n1), 0.0) / iters
     print(f"{label:24s} {dt * 1000:9.3f} ms/iter", flush=True)
     return dt
 

@@ -72,6 +72,68 @@ def test_fused_upsample_chain_bf16(rng):
     assert err < 0.05 * scale, (err, scale)
 
 
+def test_fused_downsample_chain_matches_module(rng):
+    """Down-path kernel (decimation outside, conv chain inside) vs the flax
+    Downsample module; interior exact, 14-sample edge band bounded."""
+    from tinyvc_tpu.dsp.interp import downsample_time_int_t
+    from tinyvc_tpu.models.decoder import Downsample
+    from tinyvc_tpu.ops.pallas.filter_stage import (
+        downsample_params_to_tuple,
+        fused_downsample_chain_t,
+    )
+
+    B, T, Co, f = 2, 4000, 48, 5
+    down = Downsample(Co, f)
+    x = jnp.asarray(rng.standard_normal((B, T, 24)).astype(np.float32) * 0.3)
+    params = down.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(down.apply(params, x))  # [B, T/f, Co]
+
+    z_t = downsample_time_int_t(jnp.swapaxes(x, 1, 2), f)
+    w = downsample_params_to_tuple(params["params"])
+    out = np.asarray(
+        jnp.swapaxes(
+            fused_downsample_chain_t(
+                z_t, *w, dtype_name="float32", t_blk=256, interpret=True
+            ),
+            1, 2,
+        )
+    )
+    assert out.shape == ref.shape
+    crop = 16
+    np.testing.assert_allclose(
+        out[:, crop:-crop], ref[:, crop:-crop], atol=2e-4, rtol=1e-3
+    )
+    assert np.abs(out - ref).max() < 0.3 * max(np.abs(ref).max(), 1.0)
+
+
+def test_fused_stem_conv_matches_module(rng):
+    """The stem k=3 conv kernel is exact everywhere: a single conv's
+    replicate padding IS the kernel's edge-replicated halo."""
+    from tinyvc_tpu.models.layers import Conv1d
+    from tinyvc_tpu.ops.pallas.filter_stage import (
+        _conv_weights_t,
+        fused_conv3_t,
+    )
+
+    B, T = 2, 2000
+    conv = Conv1d(24, 3)
+    x = jnp.asarray(rng.standard_normal((B, T, 17)).astype(np.float32) * 0.3)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(conv.apply(params, x))
+
+    w, b = _conv_weights_t(params["params"])
+    out = np.asarray(
+        jnp.swapaxes(
+            fused_conv3_t(
+                jnp.swapaxes(x, 1, 2), w, b,
+                dtype_name="float32", t_blk=256, interpret=True,
+            ),
+            1, 2,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_filternet_fused_apply_matches_module(rng):
     """The functional serving path (fused Pallas Upsample stages, interpret
     mode here) tracks the flax FilterNet on the interior; sequence edges use

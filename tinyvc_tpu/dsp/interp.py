@@ -96,6 +96,19 @@ def downsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return 0.5 * (blocks[:, :, h - 1, :] + blocks[:, :, h, :])
 
 
+def downsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Channels-first variant of :func:`downsample_time_int`:
+    ``[B, C, T] -> [B, C, T/factor]`` with identical align_corners=False
+    semantics (one column for odd factors, the mean of the two centre
+    columns for even ones)."""
+    B, C, T = x.shape
+    blocks = x.reshape(B, C, T // factor, factor)
+    if factor % 2 == 1:
+        return blocks[..., (factor - 1) // 2]
+    h = factor // 2
+    return 0.5 * (blocks[..., h - 1] + blocks[..., h])
+
+
 def upsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Channels-first variant of :func:`upsample_time_int`:
     ``[B, C, T] -> [B, C, T*factor]`` with identical

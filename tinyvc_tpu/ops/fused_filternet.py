@@ -19,9 +19,15 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from ..config import DecoderConfig
-from ..dsp.interp import downsample_time_int, upsample_time_int_t
-from ..models.layers import replicate_pad_time
-from .pallas.filter_stage import fused_upsample_chain_t, upsample_params_to_tuple
+from ..dsp.interp import downsample_time_int_t, upsample_time_int_t  # noqa: F401
+from .pallas.filter_stage import (
+    _conv_weights_t,
+    downsample_params_to_tuple,
+    fused_conv3_t,
+    fused_downsample_chain_t,
+    fused_upsample_chain_t,
+    upsample_params_to_tuple,
+)
 
 
 def _dense(x, p, dt):
@@ -29,38 +35,6 @@ def _dense(x, p, dt):
         jnp.dot(x.astype(dt), p["kernel"].astype(dt)).astype(jnp.float32)
         + p["bias"]
     ).astype(dt)
-
-
-def _conv1d(x, p, dilation, dt):
-    """Unfold conv with replicate padding (mirrors models/layers.py Conv1d
-    impl='unfold')."""
-    kernel, bias = p["kernel"], p["bias"]
-    k = kernel.shape[0]
-    d = dilation
-    pad = (k * d - d) // 2
-    T = x.shape[-2]
-    xp = replicate_pad_time(x.astype(dt), pad, pad)
-    xu = jnp.concatenate([xp[:, i * d : i * d + T, :] for i in range(k)], axis=-1)
-    w = kernel.reshape(k * kernel.shape[1], kernel.shape[2]).astype(dt)
-    y = jnp.einsum("btc,cf->btf", xu, w, preferred_element_type=jnp.float32)
-    return (y + bias).astype(dt)
-
-
-def _lrelu(x):
-    return jnp.where(x > 0, x, 0.1 * x)
-
-
-def _downsample(x, p, factor, dt):
-    """Downsample block (models/decoder.py::Downsample)."""
-    x = downsample_time_int(x, factor)
-    res = _dense(x, p["down_res"], dt)
-    x = _lrelu(x)
-    x = _conv1d(x, p["c1"], 1, dt)
-    x = _lrelu(x)
-    x = _conv1d(x, p["c2"], 2, dt)
-    x = _lrelu(x)
-    x = _conv1d(x, p["c3"], 4, dt)
-    return x + res
 
 
 def _t_blk_for(c: int, T: int, dtype_name: str) -> int:
@@ -98,34 +72,68 @@ def filternet_fused_apply(
         _log_f0_feature(f0), fn_params["f0_in"], dt
     )
 
-    src = jnp.concatenate([source.astype(dt), energy[..., None].astype(dt)], axis=-1)
+    # everything below frame rate runs channels-first: ONE waveform-rate
+    # transpose in (src), none out (the folded output conv emits [B, 1, L])
+    src_t = jnp.swapaxes(
+        jnp.concatenate(
+            [source.astype(dt), energy[..., None].astype(dt)], axis=-1
+        ),
+        1, 2,
+    )  # [B, H+2, L]
 
-    skips = []
-    src = _conv1d(src, fn_params["down_0"], 1, dt)
-    skips.append(src)
+    dname = cfg.compute_dtype
+    L = src_t.shape[2]
+    skips_t = []
+    w0, b0 = _conv_weights_t(fn_params["down_0"])
+    src_t = fused_conv3_t(
+        src_t, w0, b0, dtype_name=dname,
+        t_blk=_t_blk_for(channels[-1], L, dname), interpret=interpret,
+    )
+    skips_t.append(src_t)
     cs = list(reversed(channels[1:]))
     ns = cs[1:] + [channels[0]]
     fs = list(reversed(factors[1:]))
     for i, (n, f) in enumerate(zip(ns, fs)):
-        src = _downsample(src, fn_params[f"down_{i + 1}"], f, dt)
-        skips.append(src)
+        z_t = downsample_time_int_t(src_t, f)
+        w = downsample_params_to_tuple(fn_params[f"down_{i + 1}"])
+        src_t = fused_downsample_chain_t(
+            z_t, *w, dtype_name=dname,
+            t_blk=_t_blk_for(max(z_t.shape[1], n), z_t.shape[2], dname),
+            interpret=interpret,
+        )
+        skips_t.append(src_t)
 
-    # up path runs channels-first end-to-end: one transpose in (frame rate,
-    # cheap), per-stage interpolation along the last axis, one transpose out
+    # up path; the last stage folds the model's k=7 fp32 output conv into
+    # its c5 (w_out @ w5 — see filter_stage._chain), so the [B, L, 24] c5
+    # activation and the [B, L, 7*24] output-conv unfold never reach HBM
     ns_up = channels[1:] + [channels[-1]]
     x_t = jnp.swapaxes(x, 1, 2)  # [B, C0, F]
+    n_up = len(factors)
     for i, (n, f) in enumerate(zip(ns_up, factors)):
-        cond_t = jnp.swapaxes(skips[len(skips) - 1 - i], 1, 2)
+        cond_t = skips_t[len(skips_t) - 1 - i]
         c_in = x_t.shape[1]
         xu_t = upsample_time_int_t(x_t, f)
         w = upsample_params_to_tuple(fn_params[f"up_{i}"])
-        x_t = fused_upsample_chain_t(
-            xu_t, cond_t, *w,
-            dtype_name=cfg.compute_dtype,
-            t_blk=_t_blk_for(c_in, xu_t.shape[2], cfg.compute_dtype),
-            interpret=interpret,
-        ).astype(dt)
-    x = jnp.swapaxes(x_t, 1, 2)  # [B, L, 24]
-
-    out = _conv1d(x.astype(jnp.float32), fn_params["output_layer"], 1, jnp.float32)
-    return out[..., 0].astype(jnp.float32)
+        last = i == n_up - 1
+        if last:
+            wconv, bconv, wfilm, bfilm, w5, b5 = w
+            ok = fn_params["output_layer"]["kernel"]  # [k, Co, 1]
+            k = ok.shape[0]
+            w_out = ok[:, :, 0]  # [k, Co]
+            w5c = jnp.dot(w_out, w5)  # [k, C]
+            b5c = jnp.dot(w_out, b5)  # [k, 1]
+            bout = fn_params["output_layer"]["bias"].reshape(1, 1)
+            x_t = fused_upsample_chain_t(
+                xu_t, cond_t, wconv, bconv, wfilm, bfilm, w5c, b5c,
+                dtype_name=dname,
+                t_blk=_t_blk_for(c_in, xu_t.shape[2], dname),
+                interpret=interpret, fold_k=k, bout=bout,
+            )
+        else:
+            x_t = fused_upsample_chain_t(
+                xu_t, cond_t, *w,
+                dtype_name=dname,
+                t_blk=_t_blk_for(c_in, xu_t.shape[2], dname),
+                interpret=interpret,
+            ).astype(dt)
+    return x_t[:, 0, :].astype(jnp.float32)
