@@ -35,7 +35,7 @@ def timed_loop(fn, *args, iters=20, label=""):
     def loop(n, *args):
         def body(i, carry):
             out = fn(i, carry, *args)
-            return jnp.mean(out)
+            return jnp.mean(out).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

@@ -106,6 +106,59 @@ def main():
             )
         cur = jnp.zeros((B, n, z_t.shape[2]), dt)
 
+    # isolation: up4's interp / kernel / fold, separately
+    if want("up4interp") or want("up4nofold") or want("up4fold"):
+        C4, f4 = channels[-1], factors[-1]
+        x4 = arr(B, C4, L // f4).astype(dt)
+        cond4 = arr(B, C4, L).astype(dt)
+        w4 = upsample_params_to_tuple(fp["up_4"])
+        if want("up4interp"):
+            timed_loop(
+                lambda i, c, x: upsample_time_int_t(
+                    x + c * jnp.asarray(1e-20, dt), f4),
+                x4, iters=ns.iters, label="up4 interp only",
+            )
+        xu4 = upsample_time_int_t(x4, f4)
+        if want("up4nofold"):
+            timed_loop(
+                lambda i, c, xu, cond: fused_upsample_chain_t(
+                    xu + c * jnp.asarray(1e-20, dt), cond, *w4,
+                    dtype_name=dname, t_blk=_t_blk_for(C4, L, dname)),
+                xu4, cond4, iters=ns.iters, label="up4 kernel only (c5)",
+            )
+        if want("up4fold"):
+            wconv4, bconv4, wfilm4, bfilm4, w54, b54 = w4
+            ok4 = fp["output_layer"]["kernel"]
+            w5c4 = jnp.dot(ok4[:, :, 0], w54)
+            b5c4 = jnp.dot(ok4[:, :, 0], b54)
+            bout4 = fp["output_layer"]["bias"].reshape(1, 1)
+            timed_loop(
+                lambda i, c, xu, cond: fused_upsample_chain_t(
+                    xu + c * jnp.asarray(1e-20, dt), cond,
+                    wconv4, bconv4, wfilm4, bfilm4, w5c4, b5c4,
+                    dtype_name=dname, t_blk=_t_blk_for(C4, L, dname),
+                    fold_k=ok4.shape[0], bout=bout4),
+                xu4, cond4, iters=ns.iters, label="up4 kernel only (folded)",
+            )
+
+    if want("up4barrier"):
+        C4b, f4b = channels[-1], factors[-1]
+        x4b = arr(B, C4b, L // f4b).astype(dt)
+        cond4b = arr(B, C4b, L).astype(dt)
+        w4b = upsample_params_to_tuple(fp["up_4"])
+
+        def fn_barrier(i, c, x, cond):
+            xu = upsample_time_int_t(x + c * jnp.asarray(1e-20, dt), f4b)
+            xu = jax.lax.optimization_barrier(xu)
+            return fused_upsample_chain_t(
+                xu, cond, *w4b, dtype_name=dname,
+                t_blk=_t_blk_for(C4b, L, dname))
+
+        timed_loop(
+            fn_barrier, x4b, cond4b, iters=ns.iters,
+            label="up4 interp+BARRIER+kernel",
+        )
+
     # up chain stages (with their input interp included, as in the real path)
     ns_up = channels[1:] + [channels[-1]]
     T_in = F

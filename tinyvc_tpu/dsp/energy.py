@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .interp import linear_interp_last
+from .interp import linear_interp_last, upsample_time_int_t
 
 
 def estimate_energy(wave: jnp.ndarray, frame_size: int = 64) -> jnp.ndarray:
@@ -33,4 +33,9 @@ def estimate_energy(wave: jnp.ndarray, frame_size: int = 64) -> jnp.ndarray:
         window_strides=(1, frame_size),
         padding=((0, 0), (pad, pad)),
     )
+    P = pooled.shape[-1]
+    if L % P == 0:
+        # integer factor: tent-kernel transposed conv (native TPU lowering)
+        # instead of a waveform-rate lane gather — identical semantics
+        return upsample_time_int_t(pooled[:, None, :], L // P)[:, 0, :]
     return linear_interp_last(pooled, L)

@@ -13,7 +13,9 @@ arrays with static shapes, so they fuse into surrounding XLA computations.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _source_coords(in_len: int, out_len: int, dtype=jnp.float32):
@@ -100,25 +102,65 @@ def downsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Channels-first variant of :func:`downsample_time_int`:
     ``[B, C, T] -> [B, C, T/factor]`` with identical align_corners=False
     semantics (one column for odd factors, the mean of the two centre
-    columns for even ones)."""
+    columns for even ones).
+
+    Expressed as a stride-f conv (native TPU lowering) — a stride-f lane
+    slice/deinterleave is the same relayout pathology as the phase-stack
+    upsampling (see :func:`upsample_time_int_t`)."""
+    if factor == 1:
+        return x
     B, C, T = x.shape
-    blocks = x.reshape(B, C, T // factor, factor)
-    if factor % 2 == 1:
-        return blocks[..., (factor - 1) // 2]
-    h = factor // 2
-    return 0.5 * (blocks[..., h - 1] + blocks[..., h])
+    f = factor
+    if f % 2 == 1:
+        off, K = (f - 1) // 2, np.ones(1, np.float32)
+    else:
+        off, K = f // 2 - 1, np.full(2, 0.5, np.float32)
+    lhs = x[:, :, off:].reshape(B * C, 1, T - off)
+    rhs = jnp.asarray(K, x.dtype).reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(f,),
+        padding=[(0, f)],
+        dimension_numbers=("NCH", "IOH", "NCH"),
+    )
+    return out.reshape(B, C, -1)[:, :, : T // f]
 
 
 def upsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Channels-first variant of :func:`upsample_time_int`:
     ``[B, C, T] -> [B, C, T*factor]`` with identical
     align_corners=False semantics (used by the fused-kernel serving path,
-    which keeps the U-Net up path transposed end-to-end)."""
+    which keeps the U-Net up path transposed end-to-end).
+
+    Implemented as an lhs-dilated (transposed) conv with the tent kernel:
+    linear interpolation IS a 3f-tap interpolation filter after f-fold
+    zero-stuffing. XLA has a native TPU lowering for dilated convs; the
+    phase-stack closed form (``[B,C,T,f]`` stack + reshape) materialises a
+    stride-f lane interleave that the TPU executes at ~8 GB/s — measured
+    26 ms for the U-Net's final x5 stage vs ~1 ms for this form."""
+    if factor == 1:
+        return x
     B, C, T = x.shape
-    a = (jnp.arange(factor, dtype=x.dtype) + 0.5) / factor - 0.5  # [f]
-    prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
-    nxt = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
-    lo = prev[..., None] * (-a) + x[..., None] * (1.0 + a)
-    hi = x[..., None] * (1.0 - a) + nxt[..., None] * a
-    out = jnp.where(a < 0.0, lo, hi)  # [B, C, T, f]
-    return out.reshape(B, C, T * factor)
+    f = factor
+    a = (np.arange(f) + 0.5) / f - 0.5
+    K = np.zeros(3 * f, np.float32)
+    for j in range(f):
+        K[f + j] += 1.0 - abs(a[j])  # centre frame (s = 0)
+        if a[j] > 0:
+            K[j] += a[j]  # next frame (s = +1): offset j - f
+        if a[j] < 0:
+            K[2 * f + j] += -a[j]  # prev frame (s = -1): offset j + f
+    # edge-extend one frame each side = the closed form's edge clamp
+    xe = jnp.concatenate([x[:, :, :1], x, x[:, :, -1:]], axis=-1)
+    lhs = xe.reshape(B * C, 1, T + 2)
+    rhs = jnp.asarray(K[::-1].copy(), x.dtype).reshape(1, 1, 3 * f)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding=[(f - 1, 3 * f)],
+        lhs_dilation=(f,),
+        dimension_numbers=("NCH", "IOH", "NCH"),
+    )
+    return out.reshape(B, C, -1)[:, :, : f * T]

@@ -73,21 +73,31 @@ def filternet_fused_apply(
     )
 
     # everything below frame rate runs channels-first: ONE waveform-rate
-    # transpose in (src), none out (the folded output conv emits [B, 1, L])
+    # transpose in (src), none out (the folded output conv emits [B, 1, L]).
+    # The stem's 17 channels are zero-padded to the Mosaic sublane granule
+    # here, inside the same concat that appends energy (fused_conv3_t pads
+    # the weight columns to match).
+    B, L = energy.shape
+    npad = (-(source.shape[-1] + 1)) % 8
     src_t = jnp.swapaxes(
         jnp.concatenate(
-            [source.astype(dt), energy[..., None].astype(dt)], axis=-1
+            [
+                source.astype(dt),
+                energy[..., None].astype(dt),
+                jnp.zeros((B, L, npad), dt),
+            ],
+            axis=-1,
         ),
         1, 2,
-    )  # [B, H+2, L]
+    )  # [B, H+2+pad, L]
 
     dname = cfg.compute_dtype
-    L = src_t.shape[2]
     skips_t = []
     w0, b0 = _conv_weights_t(fn_params["down_0"])
     src_t = fused_conv3_t(
         src_t, w0, b0, dtype_name=dname,
         t_blk=_t_blk_for(channels[-1], L, dname), interpret=interpret,
+        w_cin=source.shape[-1] + 1,
     )
     skips_t.append(src_t)
     cs = list(reversed(channels[1:]))

@@ -451,7 +451,7 @@ def fused_downsample_chain_t(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dtype_name", "interpret", "t_blk")
+    jax.jit, static_argnames=("dtype_name", "interpret", "t_blk", "w_cin")
 )
 def fused_conv3_t(
     x_t: jnp.ndarray,
@@ -459,27 +459,33 @@ def fused_conv3_t(
     dtype_name: str = "bfloat16",
     t_blk: int = 8192,
     interpret: bool = False,
+    w_cin: int | None = None,
 ) -> jnp.ndarray:
     """Single k=3 d=1 conv, channels-first (the down-path stem):
-    [B, Cin, T] -> [B, Co, T] with w [Co, 3*Cin].
+    [B, Cin, T] -> [B, Co, T] with w [Co, 3*w_cin].
 
-    Cin is zero-padded to a multiple of 8 (Mosaic requires sublane-aligned
-    DMA window shapes; the stem's 17 source channels are not) — padded
-    input channels are zero and their weight columns are zero, so the
-    result is unchanged."""
+    Mosaic requires sublane-aligned DMA window shapes, so Cin must be a
+    multiple of 8. Callers whose true channel count is not (the stem's 17)
+    pass input rows zero-padded up to x_t's Cin and the true count as
+    ``w_cin``; the weight columns are zero-padded here to match (zero
+    input x zero weight — result unchanged)."""
     assert t_blk % 128 == 0
     Co = w.shape[0]
     B, Cin, T = x_t.shape
-    pad = (-Cin) % 8
-    if pad:
+    if w_cin is None:
+        w_cin = Cin
+    pad_in = (-Cin) % 8  # callers ideally pre-pad (fused into src concat)
+    if pad_in:
         x_t = jnp.concatenate(
-            [x_t, jnp.zeros((B, pad, T), x_t.dtype)], axis=1
+            [x_t, jnp.zeros((B, pad_in, T), x_t.dtype)], axis=1
         )
-        wt = w.reshape(Co, 3, Cin)
+        Cin += pad_in
+    if w_cin != Cin:
+        wt = w.reshape(Co, 3, w_cin)
         wt = jnp.concatenate(
-            [wt, jnp.zeros((Co, 3, pad), w.dtype)], axis=2
+            [wt, jnp.zeros((Co, 3, Cin - w_cin), w.dtype)], axis=2
         )
-        w = wt.reshape(Co, 3 * (Cin + pad))
+        w = wt.reshape(Co, 3 * Cin)
     zeros = jnp.zeros((1, 1), jnp.float32)
     return _run_down_kernel(
         x_t, (zeros, zeros, w, b, zeros, zeros, zeros, zeros), Co,
