@@ -196,13 +196,17 @@ def main():
             np.abs(rng.standard_normal((B2, F2 * hop))).astype(np.float32) * 0.1
         )
 
+        from tinyvc_tpu.infer.generator import decode_infer
+
         def make_dec_loop():
             @jax.jit
             def loop(n, dec_p, content, f0, energy, key):
                 def body(i, carry):
-                    out = decoder.apply(
-                        dec_p, content + carry * 1e-20, f0, energy,
-                        jax.random.fold_in(key, i), method=decoder.infer,
+                    # the serving decode path (fused U-Net kernels when
+                    # engaged), same route convert_fn takes
+                    out = decode_infer(
+                        decoder, dec_p, content + carry * 1e-20, f0, energy,
+                        jax.random.fold_in(key, i), cfg,
                     )
                     return jnp.mean(out)
 

@@ -174,3 +174,14 @@ def test_filternet_fused_apply_matches_module(rng):
     assert interior_err < 1e-3 * max(scale, 1.0), (interior_err, scale)
     # edges bounded
     assert np.abs(out - ref).max() < 0.5 * max(scale, 1.0)
+
+    # the production entry passes the source channels-first ([B, H+2, L],
+    # avoiding the lane-padded [B, L, 16] layout) — identical result
+    out_cf = np.asarray(
+        filternet_fused_apply(
+            params["params"], cfg, content, f0, energy,
+            jnp.swapaxes(source, 1, 2), interpret=True,
+            source_channels_first=True,
+        )
+    )
+    np.testing.assert_allclose(out_cf, out, atol=1e-6, rtol=1e-6)

@@ -75,17 +75,20 @@ def decode_infer(
         dec_params, content, f0, energy,
         method=lambda m, c, f_, e: m.source_net(c, f_, e),
     )
-    source = decoder.apply(
+    # channels-first source end-to-end: a waveform-rate [B, L, 16] tensor
+    # is lane-padded 16->128 on TPU (~8x HBM bloat); [B, 16, L] is not
+    source_t = decoder.apply(
         dec_params, f0, amps, kernel, key, noise_angle,
         method=lambda m, f_, a, k_, key_, na: m.dsp(
-            f_, a, k_, key_, noise_angle=na
+            f_, a, k_, key_, noise_angle=na, channels_first=True
         ),
     )
     return filternet_fused_apply(
         dec_params["params"]["filter_net"], cfg.decoder, content, f0, energy,
-        source,
+        source_t,
         # flag == 'on' on a CPU backend runs the kernels interpreted (tests)
         interpret=_on_cpu_backend(),
+        source_channels_first=True,
     )
 
 

@@ -128,16 +128,28 @@ def make_stream_step(
                 pitch_shift, subkey, cfg,
             )[0]
 
-        # SOLA alignment (reference `stream.py:75-80`)
+        # SOLA alignment (reference `stream.py:75-80`). The normalised
+        # cross-correlation is a windows-matrix matvec + cumsum sliding sum
+        # rather than jnp.correlate: a 1920-tap conv makes the TPU compiler
+        # itself blow up (the AOT helper OOMs on the tiny program), while
+        # gather + [search+1, crossfade] @ [crossfade] is MXU-friendly and
+        # compiles in seconds.
         total = block + crossfade + search
         temp = jax.lax.dynamic_slice(
             y, (y.shape[0] - total - delay,), (total,)
         )
         conv_input = temp[: crossfade + search]
-        cor_nom = jnp.correlate(conv_input, state.sola_buffer, mode="valid")
+        idx = jnp.arange(search + 1)[:, None] + jnp.arange(crossfade)[None, :]
+        windows = conv_input[idx]  # [search+1, crossfade]
+        cor_nom = jnp.dot(
+            windows, state.sola_buffer,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sq = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), jnp.cumsum(conv_input * conv_input)]
+        )
         cor_den = jnp.sqrt(
-            jnp.correlate(conv_input * conv_input, jnp.ones(crossfade), mode="valid")
-            + 1e-8
+            sq[crossfade : crossfade + search + 1] - sq[: search + 1] + 1e-8
         )
         sola_shift = jnp.argmax(cor_nom / cor_den)
 

@@ -295,9 +295,12 @@ class Decoder(nn.Module):
         kernel: jnp.ndarray,
         key: jax.Array,
         noise_angle: jnp.ndarray | None = None,
+        channels_first: bool = False,
     ) -> jnp.ndarray:
         """Additive harmonics x amplitudes, concat filtered noise -> source
-        ``[B, L, H+2]``. Forced fp32 (reference `decoder.py:259-266`)."""
+        ``[B, L, H+2]`` (``[B, H+2, L]`` with ``channels_first`` — the
+        serving layout: a waveform-rate [B, L, 16] is lane-padded 16->128 on
+        TPU, ~8x HBM bloat). Forced fp32 (reference `decoder.py:259-266`)."""
         # Pallas TPU kernels can't lower for CPU/GPU; respect both the global
         # backend and an active jax.default_device(cpu) override (used to
         # draw parameters on host when the TPU sits behind a slow tunnel).
@@ -318,6 +321,7 @@ class Decoder(nn.Module):
                 self.audio.hop_size,
                 self.audio.sample_rate,
                 20.0,
+                transpose_out=not channels_first,
             )
         else:
             harmonics = oscillate_harmonics(
@@ -330,9 +334,13 @@ class Decoder(nn.Module):
                 amps.astype(jnp.float32), self.audio.hop_size
             )
             harmonics = harmonics * amps_w
+            if channels_first:
+                harmonics = jnp.swapaxes(harmonics, 1, 2)
         noise = oscillate_noise(
             kernel, key, self.audio.hop_size, self.audio.n_fft, angle=noise_angle
         )
+        if channels_first:
+            return jnp.concatenate([harmonics, noise[:, None, :]], axis=1)
         return jnp.concatenate([harmonics, noise[..., None]], axis=-1)
 
     def infer(

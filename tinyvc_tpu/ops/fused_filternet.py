@@ -61,9 +61,12 @@ def filternet_fused_apply(
     energy: jnp.ndarray,
     source: jnp.ndarray,
     interpret: bool = False,
+    source_channels_first: bool = False,
 ) -> jnp.ndarray:
     """fn_params: the ``filter_net`` subtree of the decoder's flax params.
-    content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2] -> [B,L]."""
+    content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2]
+    (or [B,H+2,L] with ``source_channels_first`` — the production serving
+    layout; see `decode_infer`) -> [B,L]."""
     channels = list(cfg.filter_channels)
     factors = list(cfg.filter_factors)
     dt = jnp.dtype(cfg.compute_dtype)
@@ -72,24 +75,37 @@ def filternet_fused_apply(
         _log_f0_feature(f0), fn_params["f0_in"], dt
     )
 
-    # everything below frame rate runs channels-first: ONE waveform-rate
-    # transpose in (src), none out (the folded output conv emits [B, 1, L]).
-    # The stem's 17 channels are zero-padded to the Mosaic sublane granule
-    # here, inside the same concat that appends energy (fused_conv3_t pads
-    # the weight columns to match).
+    # everything below frame rate runs channels-first; no waveform-rate
+    # transposes when the source arrives channels-first (production), none
+    # out (the folded output conv emits [B, 1, L]). The stem's 17 channels
+    # are zero-padded to the Mosaic sublane granule inside the same concat
+    # that appends energy (fused_conv3_t pads the weight columns to match).
     B, L = energy.shape
-    npad = (-(source.shape[-1] + 1)) % 8
-    src_t = jnp.swapaxes(
-        jnp.concatenate(
+    if source_channels_first:
+        n_src = source.shape[1]
+        npad = (-(n_src + 1)) % 8
+        src_t = jnp.concatenate(
             [
                 source.astype(dt),
-                energy[..., None].astype(dt),
-                jnp.zeros((B, L, npad), dt),
+                energy[:, None, :].astype(dt),
+                jnp.zeros((B, npad, L), dt),
             ],
-            axis=-1,
-        ),
-        1, 2,
-    )  # [B, H+2+pad, L]
+            axis=1,
+        )  # [B, H+2+pad, L]
+    else:
+        n_src = source.shape[-1]
+        npad = (-(n_src + 1)) % 8
+        src_t = jnp.swapaxes(
+            jnp.concatenate(
+                [
+                    source.astype(dt),
+                    energy[..., None].astype(dt),
+                    jnp.zeros((B, L, npad), dt),
+                ],
+                axis=-1,
+            ),
+            1, 2,
+        )  # [B, H+2+pad, L]
 
     dname = cfg.compute_dtype
     skips_t = []
@@ -97,7 +113,7 @@ def filternet_fused_apply(
     src_t = fused_conv3_t(
         src_t, w0, b0, dtype_name=dname,
         t_blk=_t_blk_for(channels[-1], L, dname), interpret=interpret,
-        w_cin=source.shape[-1] + 1,
+        w_cin=n_src + 1,
     )
     skips_t.append(src_t)
     cs = list(reversed(channels[1:]))

@@ -138,6 +138,7 @@ def _pallas_forward(
     min_frequency: float,
     frames_per_block: int,
     interpret: bool,
+    transpose_out: bool = True,
 ) -> jnp.ndarray:
     B, F = f0.shape
     H1 = amps.shape[-1]
@@ -205,7 +206,10 @@ def _pallas_forward(
         interpret=interpret,
     )(f0_pcn, amps_pcn)
     out = out[:, :, :F].reshape(B, H1, F * frame_size)
-    return jnp.swapaxes(out, 1, 2)  # [B, L, H1]
+    if transpose_out:
+        return jnp.swapaxes(out, 1, 2)  # [B, L, H1]
+    return out  # [B, H1, L] channels-first (serving: avoids the lane-padded
+    # [B, L, 15] layout, which bloats ~8.5x on TPU, plus the transpose)
 
 
 # Differentiation: pallas_call has no JVP/transpose rules, so the GAN
@@ -214,22 +218,29 @@ def _pallas_forward(
 # forward = Pallas kernel, backward = vjp of the mathematically identical
 # XLA chain (recomputed from the saved frame-rate inputs — cheap, and the
 # [B, L, H1] residuals never need to be stored).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _osc(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _osc(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
+         interpret, transpose_out):
     return _pallas_forward(
-        f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret
+        f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
+        interpret, transpose_out,
     )
 
 
-def _osc_fwd(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret):
+def _osc_fwd(f0, amps, frame_size, sample_rate, min_frequency,
+             frames_per_block, interpret, transpose_out):
     out = _pallas_forward(
-        f0, amps, frame_size, sample_rate, min_frequency, frames_per_block, interpret
+        f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
+        interpret, transpose_out,
     )
     return out, (f0, amps)
 
 
-def _osc_bwd(frame_size, sample_rate, min_frequency, frames_per_block, interpret, res, g):
+def _osc_bwd(frame_size, sample_rate, min_frequency, frames_per_block,
+             interpret, transpose_out, res, g):
     f0, amps = res
+    if not transpose_out:
+        g = jnp.swapaxes(g, 1, 2)  # fallback chain is [B, L, H1]
     _, vjp = jax.vjp(
         lambda f, a: _xla_fallback(f, a, frame_size, sample_rate, min_frequency),
         f0.astype(jnp.float32),
@@ -250,6 +261,7 @@ _osc.defvjp(_osc_fwd, _osc_bwd)
         "min_frequency",
         "frames_per_block",
         "interpret",
+        "transpose_out",
     ),
 )
 def oscillator_bank(
@@ -260,8 +272,10 @@ def oscillator_bank(
     min_frequency: float = 20.0,
     frames_per_block: int = 24,
     interpret: bool = False,
+    transpose_out: bool = True,
 ) -> jnp.ndarray:
-    """f0 [B, F], amps [B, F, H1] -> modulated harmonics [B, F*frame, H1].
+    """f0 [B, F], amps [B, F, H1] -> modulated harmonics [B, F*frame, H1]
+    (or [B, H1, F*frame] with ``transpose_out=False``).
 
     Fused equivalent of
     ``oscillate_harmonics(f0) * upsample_frames_to_samples(amps)``.
@@ -275,4 +289,5 @@ def oscillator_bank(
         min_frequency,
         frames_per_block,
         interpret,
+        transpose_out,
     )
