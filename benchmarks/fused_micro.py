@@ -159,6 +159,50 @@ def main():
             label="up4 interp+BARRIER+kernel",
         )
 
+    if want("cl_interp"):
+        # training-path (channels-last) resampling: phase-stack closed form
+        # vs depthwise tent-conv, at the U-Net's final-stage training shape.
+        # A barrier forces materialisation (a bare mean() fuses the interp
+        # into the reduction and under-reports).
+        from tinyvc_tpu.dsp.interp import upsample_time_int
+
+        def cl_conv(x, f):
+            Bx, Tx, Cx = x.shape
+            a2 = np.arange(f) + 0.5
+            a2 = a2 / f - 0.5
+            K2 = np.zeros(3 * f, np.float32)
+            for j in range(f):
+                K2[f + j] += 1.0 - abs(a2[j])
+                if a2[j] > 0:
+                    K2[j] += a2[j]
+                if a2[j] < 0:
+                    K2[2 * f + j] += -a2[j]
+            xe = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+            rhs = jnp.broadcast_to(
+                jnp.asarray(K2[::-1].copy(), x.dtype).reshape(3 * f, 1, 1),
+                (3 * f, 1, Cx),
+            )
+            out = jax.lax.conv_general_dilated(
+                xe, rhs, (1,), [(f - 1, 3 * f)], lhs_dilation=(f,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=Cx,
+            )
+            return out[:, : f * Tx]
+
+        xcl = arr(B, 48000, 24)
+        timed_loop(
+            lambda i, c, x: jnp.mean(
+                jax.lax.optimization_barrier(upsample_time_int(x + c * 1e-20, 5))
+            ),
+            xcl, iters=ns.iters, label="cl phase-stack interp x5",
+        )
+        timed_loop(
+            lambda i, c, x: jnp.mean(
+                jax.lax.optimization_barrier(cl_conv(x + c * 1e-20, 5))
+            ),
+            xcl, iters=ns.iters, label="cl depthwise-conv interp x5",
+        )
+
     # up chain stages (with their input interp included, as in the real path)
     ns_up = channels[1:] + [channels[-1]]
     T_in = F
