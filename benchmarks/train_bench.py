@@ -24,19 +24,22 @@ from tinyvc_tpu.train import decoder_train, encoder_train
 
 
 def timed(make_loop, args, iters=8, reps=3):
-    loop1, loopN = make_loop(1), make_loop(iters + 1)
-    float(loop1(*args))
-    float(loopN(*args))
+    """One compiled program with a traced trip count serves both loop
+    lengths (remote compiles are 3-8 min each)."""
+    loop = make_loop()
+    n1, nN = jnp.int32(1), jnp.int32(iters + 1)
+    float(loop(n1, *args))
+    float(loop(nN, *args))
 
-    def best(f):
+    def best(n):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(*args))
+            float(loop(n, *args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max(best(loopN) - best(loop1), 1e-9) / iters
+    return max(best(nN) - best(n1), 1e-9) / iters
 
 
 def main():
@@ -60,9 +63,9 @@ def main():
         if name.startswith("gan"):
             step = decoder_train.make_train_step(cfg, d_join=name == "gan-post")
 
-            def make_loop(n, step=step):
+            def make_loop(step=step):
                 @jax.jit
-                def loop(state, enc_p, wave, key):
+                def loop(n, state, enc_p, wave, key):
                     def body(i, carry):
                         st, acc = carry
                         st, m = step(st, enc_p, wave + acc * 1e-20,
@@ -89,9 +92,9 @@ def main():
                 rng.standard_normal((B, 99, cfg.encoder.ssl_dim)).astype(np.float32)
             )
 
-            def make_loop(n):
+            def make_loop():
                 @jax.jit
-                def loop(state, wave, f0, teacher, key):
+                def loop(n, state, wave, f0, teacher, key):
                     def body(i, carry):
                         st, acc = carry
                         st, m = estep(st, wave + acc * 1e-20, f0, teacher,

@@ -64,38 +64,78 @@ def upsample_frames_to_samples(x: jnp.ndarray, frame_size: int) -> jnp.ndarray:
     return linear_interp_time(x, x.shape[-2] * frame_size)
 
 
-def upsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Gather-free integer-factor linear upsampling of ``[B, T, C]``.
+def _tent_kernel(f: int) -> np.ndarray:
+    """3f-tap interpolation filter: linear upsampling by integer ``f`` is an
+    lhs-dilated conv with this tent (align_corners=False half-sample
+    offsets; edge clamp = one-frame edge extension by the caller)."""
+    a = (np.arange(f) + 0.5) / f - 0.5
+    K = np.zeros(3 * f, np.float32)
+    for j in range(f):
+        K[f + j] += 1.0 - abs(a[j])  # centre frame (s = 0)
+        if a[j] > 0:
+            K[j] += a[j]  # next frame: offset j - f
+        if a[j] < 0:
+            K[2 * f + j] += -a[j]  # prev frame: offset j + f
+    return K[::-1].copy()  # conv flip
 
-    Exactly ``F.interpolate(scale_factor=factor, mode='linear',
-    align_corners=False)``: output j of block t blends frames (t-1, t) in the
-    first half-step region and (t, t+1) after, edge-clamped — expressed as
-    shifted views + broadcast weights (fuses on the VPU; no gather, no
-    transpose)."""
+
+def upsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Integer-factor linear upsampling of ``[B, T, C]`` (exactly
+    ``F.interpolate(scale_factor=factor, mode='linear',
+    align_corners=False)``), as a depthwise lhs-dilated tent conv.
+
+    The phase-stack closed form (``[B,T,f,C]`` stack + reshape) forces a
+    stride-f interleave relayout that the TPU executes at ~8 GB/s —
+    measured 28.9 ms vs 7.6 ms for this form at the training U-Net's final
+    x5 stage (B=16, T=48k, C=24)."""
+    if factor == 1:
+        return x
     B, T, C = x.shape
-    a = (jnp.arange(factor, dtype=x.dtype) + 0.5) / factor - 0.5  # [f]
-    prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
-    nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
-    a_ = a[None, None, :, None]
-    lo = prev[:, :, None, :] * (-a_) + x[:, :, None, :] * (1.0 + a_)
-    hi = x[:, :, None, :] * (1.0 - a_) + nxt[:, :, None, :] * a_
-    out = jnp.where(a_ < 0.0, lo, hi)  # [B, T, f, C]
-    return out.reshape(B, T * factor, C)
+    f = factor
+    xe = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+    rhs = jnp.broadcast_to(
+        jnp.asarray(_tent_kernel(f), x.dtype).reshape(3 * f, 1, 1),
+        (3 * f, 1, C),
+    )
+    out = jax.lax.conv_general_dilated(
+        xe,
+        rhs,
+        window_strides=(1,),
+        padding=[(f - 1, 3 * f)],
+        lhs_dilation=(f,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=C,
+    )
+    return out[:, : f * T]
 
 
 def downsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Gather-free integer-factor linear downsampling of ``[B, T, C]``.
-
-    Exactly ``F.interpolate(scale_factor=1/factor, mode='linear',
-    align_corners=False)``: the source position of output i is
-    ``i*factor + (factor-1)/2`` — one column (odd factor) or the mean of two
-    adjacent columns (even factor) of the ``[T/f, f]`` block view."""
+    """Integer-factor linear downsampling of ``[B, T, C]`` (exactly
+    ``F.interpolate(scale_factor=1/factor, mode='linear',
+    align_corners=False)``: source position of output i is
+    ``i*factor + (factor-1)/2``), as a stride-f depthwise conv — the
+    ``[T/f, f]`` block-view slice is a stride-f deinterleave relayout on
+    TPU (see :func:`upsample_time_int`)."""
+    if factor == 1:
+        return x
     B, T, C = x.shape
-    blocks = x.reshape(B, T // factor, factor, C)
-    if factor % 2 == 1:
-        return blocks[:, :, (factor - 1) // 2, :]
-    h = factor // 2
-    return 0.5 * (blocks[:, :, h - 1, :] + blocks[:, :, h, :])
+    f = factor
+    if f % 2 == 1:
+        off, K = (f - 1) // 2, np.ones(1, np.float32)
+    else:
+        off, K = f // 2 - 1, np.full(2, 0.5, np.float32)
+    rhs = jnp.broadcast_to(
+        jnp.asarray(K, x.dtype).reshape(-1, 1, 1), (len(K), 1, C)
+    )
+    out = jax.lax.conv_general_dilated(
+        x[:, off:],
+        rhs,
+        window_strides=(f,),
+        padding=[(0, f)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=C,
+    )
+    return out[:, : T // f]
 
 
 def downsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -143,18 +183,10 @@ def upsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         return x
     B, C, T = x.shape
     f = factor
-    a = (np.arange(f) + 0.5) / f - 0.5
-    K = np.zeros(3 * f, np.float32)
-    for j in range(f):
-        K[f + j] += 1.0 - abs(a[j])  # centre frame (s = 0)
-        if a[j] > 0:
-            K[j] += a[j]  # next frame (s = +1): offset j - f
-        if a[j] < 0:
-            K[2 * f + j] += -a[j]  # prev frame (s = -1): offset j + f
     # edge-extend one frame each side = the closed form's edge clamp
     xe = jnp.concatenate([x[:, :, :1], x, x[:, :, -1:]], axis=-1)
     lhs = xe.reshape(B * C, 1, T + 2)
-    rhs = jnp.asarray(K[::-1].copy(), x.dtype).reshape(1, 1, 3 * f)
+    rhs = jnp.asarray(_tent_kernel(f), x.dtype).reshape(1, 1, 3 * f)
     out = jax.lax.conv_general_dilated(
         lhs,
         rhs,
