@@ -67,10 +67,21 @@ class DecoderConfig:
     # (serving path; ~80-sample edge-replication deviation at utterance
     # ends, see ops/pallas/filter_stage.py). Same 'auto'/'on'/'off' scheme.
     use_fused_filter: str = "auto"
+    # route the GAN training step's U-Net through the fused kernels with
+    # their custom_vjp backward kernels (filter_stage.py) — fwd AND bwd
+    # VMEM-resident. MXU inputs run bf16 (matching XLA's
+    # excess-precision demotion of fp32 matmuls); accumulation fp32.
+    use_fused_filter_train: str = "auto"
     compute_dtype: str = "float32"  # see EncoderConfig.compute_dtype
     # conv lowering for the U-Net: 'unfold' (k shifted views + one matmul,
     # fastest measured), 'taps', 'phased', 'lax'
     conv_impl: str = "unfold"
+    # U-Net activation layout for the flax (training / strict-parity) path:
+    # 'cf' keeps waveform-rate tensors [B, C, T] so small channel counts sit
+    # on 8-granular sublanes instead of lane-padding to 128 (several-fold
+    # less HBM traffic in fwd+bwd); 'cl' is the channels-last [B, T, C] form.
+    # Identical parameter tree either way — checkpoints are interchangeable.
+    filter_layout: str = "cf"
     # rematerialise the U-Net's Down/Upsample blocks under grad
     # (jax.checkpoint): trades recompute FLOPs for the waveform-rate
     # activation memory that dominates the GAN step's HBM footprint —

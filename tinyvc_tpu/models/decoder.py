@@ -25,13 +25,15 @@ from flax import linen as nn
 from ..config import AudioConfig, DecoderConfig
 from ..dsp.interp import (
     downsample_time_int,
+    downsample_time_int_t,
     linear_interp_last,
     upsample_frames_to_samples,
     upsample_time_int,
+    upsample_time_int_t,
 )
 from ..dsp.phase import wrapped_exclusive_prefix
 from ..dsp.stft import istft
-from .layers import Conv1d, ConvNeXtLayer, FiLM, torch_dense
+from .layers import Conv1d, ConvNeXtLayer, Dense1x1CF, FiLM, torch_dense
 
 
 def oscillate_harmonics(
@@ -164,58 +166,94 @@ class SourceNet(nn.Module):
 
 class Downsample(nn.Module):
     """Linear-interp down + residual dilated conv stack
-    (reference `decoder.py:137-157`)."""
+    (reference `decoder.py:137-157`). ``channels_first`` runs the same math
+    on ``[B, C, T]`` (identical param tree; time stays on TPU lanes)."""
 
     out_features: int
     factor: int = 4
     dtype: jnp.dtype = jnp.float32
     conv_impl: str = "unfold"
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c_in = x.shape[-1]
-        x = downsample_time_int(x, self.factor)
-        res = torch_dense(self.out_features, c_in, dtype=self.dtype, name="down_res")(x)
+        cf = self.channels_first
+        c_in = x.shape[1] if cf else x.shape[-1]
+        x = (downsample_time_int_t if cf else downsample_time_int)(x, self.factor)
+        if cf:
+            res = Dense1x1CF(
+                self.out_features, c_in, dtype=self.dtype, name="down_res"
+            )(x)
+        else:
+            res = torch_dense(
+                self.out_features, c_in, dtype=self.dtype, name="down_res"
+            )(x)
         im = self.conv_impl
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, impl=im, name="c1")(x)
-        x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=2, dtype=self.dtype, impl=im, name="c2")(x)
+        x = Conv1d(
+            c_in, 3, dilation=1, dtype=self.dtype, impl=im, channels_first=cf,
+            name="c1",
+        )(x)
         x = nn.leaky_relu(x, 0.1)
         x = Conv1d(
-            self.out_features, 3, dilation=4, dtype=self.dtype, impl=im, name="c3"
+            c_in, 3, dilation=2, dtype=self.dtype, impl=im, channels_first=cf,
+            name="c2",
+        )(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = Conv1d(
+            self.out_features, 3, dilation=4, dtype=self.dtype, impl=im,
+            channels_first=cf, name="c3",
         )(x)
         return x + res
 
 
 class Upsample(nn.Module):
     """Linear-interp up + two FiLM-conditioned residual groups
-    (reference `decoder.py:160-190`)."""
+    (reference `decoder.py:160-190`). ``channels_first`` as in
+    :class:`Downsample`."""
 
     out_features: int
     factor: int = 4
     dtype: jnp.dtype = jnp.float32
     conv_impl: str = "unfold"
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
-        c_in = x.shape[-1]
+        cf = self.channels_first
+        c_in = x.shape[1] if cf else x.shape[-1]
         im = self.conv_impl
-        x = upsample_time_int(x, self.factor)
+        x = (upsample_time_int_t if cf else upsample_time_int)(x, self.factor)
         res = x
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=1, dtype=self.dtype, impl=im, name="c1")(x)
+        x = Conv1d(
+            c_in, 3, dilation=1, dtype=self.dtype, impl=im, channels_first=cf,
+            name="c1",
+        )(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=3, dtype=self.dtype, impl=im, name="c2")(x)
-        x = FiLM(dtype=self.dtype, name="film1")(x, cond)
+        x = Conv1d(
+            c_in, 3, dilation=3, dtype=self.dtype, impl=im, channels_first=cf,
+            name="c2",
+        )(x)
+        x = FiLM(dtype=self.dtype, channels_first=cf, name="film1")(x, cond)
         x = x + res
         res = x
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=9, dtype=self.dtype, impl=im, name="c3")(x)
+        x = Conv1d(
+            c_in, 3, dilation=9, dtype=self.dtype, impl=im, channels_first=cf,
+            name="c3",
+        )(x)
         x = nn.leaky_relu(x, 0.1)
-        x = Conv1d(c_in, 3, dilation=27, dtype=self.dtype, impl=im, name="c4")(x)
-        x = FiLM(dtype=self.dtype, name="film2")(x, cond)
+        x = Conv1d(
+            c_in, 3, dilation=27, dtype=self.dtype, impl=im, channels_first=cf,
+            name="c4",
+        )(x)
+        x = FiLM(dtype=self.dtype, channels_first=cf, name="film2")(x, cond)
         x = x + res
+        if cf:
+            return Dense1x1CF(
+                self.out_features, c_in, dtype=self.dtype, name="c5"
+            )(x)
         return torch_dense(self.out_features, c_in, dtype=self.dtype, name="c5")(x)
 
 
@@ -234,11 +272,21 @@ class FilterNet(nn.Module):
         f0: jnp.ndarray,
         energy: jnp.ndarray,
         source: jnp.ndarray,
+        source_channels_first: bool = False,
     ) -> jnp.ndarray:
-        """content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2] -> [B,L]."""
+        """content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2]
+        (``[B,H+2,L]`` with ``source_channels_first``) -> [B,L].
+
+        ``cfg.filter_layout == 'cf'`` runs the whole waveform-rate U-Net
+        channels-first — identical params and math, but small channel counts
+        (17-48) stay on 8-granular sublanes instead of lane-padding to 128,
+        cutting HBM traffic several-fold in BOTH the forward and backward
+        pass (this is the training-path counterpart of the fused serving
+        kernels' transposed layout)."""
         channels = list(self.cfg.filter_channels)
         factors = list(self.cfg.filter_factors)
         dt = jnp.dtype(self.cfg.compute_dtype)
+        cf = self.cfg.filter_layout == "cf"
 
         x = torch_dense(
             channels[0], content.shape[-1], dtype=dt, name="content_in"
@@ -246,7 +294,15 @@ class FilterNet(nn.Module):
             _log_f0_feature(f0)
         )
 
-        src = jnp.concatenate([source, energy[..., None]], axis=-1)
+        if cf:
+            x = jnp.swapaxes(x, 1, 2)  # frame rate: cheap
+            if not source_channels_first:
+                source = jnp.swapaxes(source, 1, 2)
+            src = jnp.concatenate([source, energy[:, None, :]], axis=1)
+        else:
+            if source_channels_first:
+                source = jnp.swapaxes(source, 1, 2)
+            src = jnp.concatenate([source, energy[..., None]], axis=-1)
 
         # down path: stem conv at waveform rate, then 4 Downsamples.
         # remat: each block's interior activations (10+ waveform-rate tensors)
@@ -255,22 +311,29 @@ class FilterNet(nn.Module):
         Up = nn.remat(Upsample) if self.cfg.remat else Upsample
         im = self.cfg.conv_impl
         skips = []
-        src = Conv1d(channels[-1], 3, dtype=dt, impl=im, name="down_0")(src)
+        src = Conv1d(
+            channels[-1], 3, dtype=dt, impl=im, channels_first=cf, name="down_0"
+        )(src)
         skips.append(src)
         cs = list(reversed(channels[1:]))
         ns = cs[1:] + [channels[0]]
         fs = list(reversed(factors[1:]))
         for i, (n, f) in enumerate(zip(ns, fs)):
-            src = Down(n, f, dtype=dt, conv_impl=im, name=f"down_{i + 1}")(src)
+            src = Down(
+                n, f, dtype=dt, conv_impl=im, channels_first=cf,
+                name=f"down_{i + 1}",
+            )(src)
             skips.append(src)
 
         # up path
         ns_up = channels[1:] + [channels[-1]]
         for i, (n, f) in enumerate(zip(ns_up, factors)):
             x = Up(
-                n, f, dtype=dt, conv_impl=im, name=f"up_{i}"
+                n, f, dtype=dt, conv_impl=im, channels_first=cf, name=f"up_{i}"
             )(x, skips[len(skips) - 1 - i])
-        out = Conv1d(1, 7, name="output_layer")(x)  # final conv fp32
+        out = Conv1d(1, 7, channels_first=cf, name="output_layer")(x)  # fp32
+        if cf:
+            return out[:, 0, :].astype(jnp.float32)
         return out[..., 0].astype(jnp.float32)
 
 
@@ -351,9 +414,14 @@ class Decoder(nn.Module):
         key: jax.Array,
         noise_angle: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
+        cf = self.cfg.filter_layout == "cf"
         amps, kernel = self.source_net(content, f0, energy)
-        source = self.dsp(f0, amps, kernel, key, noise_angle=noise_angle)
-        return self.filter_net(content, f0, energy, source)
+        source = self.dsp(
+            f0, amps, kernel, key, noise_angle=noise_angle, channels_first=cf
+        )
+        return self.filter_net(
+            content, f0, energy, source, source_channels_first=cf
+        )
 
     def train_forward(
         self,
@@ -363,10 +431,15 @@ class Decoder(nn.Module):
         key: jax.Array,
     ):
         """Like :meth:`infer` but also returns the DSP source, which feeds the
-        auxiliary DSP loss (reference `train_decoder.py:105-109`)."""
+        auxiliary DSP loss (reference `train_decoder.py:105-109`). The source
+        comes back ``[B, H+2, L]`` when ``cfg.filter_layout == 'cf'`` (sum
+        over axis 1 for the DSP loss), else ``[B, L, H+2]``."""
+        cf = self.cfg.filter_layout == "cf"
         amps, kernel = self.source_net(content, f0, energy)
-        source = self.dsp(f0, amps, kernel, key)
-        fake = self.filter_net(content, f0, energy, source)
+        source = self.dsp(f0, amps, kernel, key, channels_first=cf)
+        fake = self.filter_net(
+            content, f0, energy, source, source_channels_first=cf
+        )
         return fake, source
 
     def __call__(self, content, f0, energy, key, noise_angle=None):

@@ -62,6 +62,42 @@ def replicate_pad_time(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="edge")
 
 
+def _dot_cf(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``einsum('bct,cf->bft')`` with fp32 accumulation. XLA's CPU backend
+    has no bf16 x bf16 -> f32 dot thunk for this contraction pattern, so
+    bf16 operands are promoted on CPU (TPU keeps bf16 MXU inputs)."""
+    if x.dtype == jnp.bfloat16 and jax.default_backend() in ("cpu",):
+        x, w = x.astype(jnp.float32), w.astype(jnp.float32)
+    return jnp.einsum("bct,cf->bft", x, w, preferred_element_type=jnp.float32)
+
+
+class Dense1x1CF(nn.Module):
+    """1x1 conv on channels-first ``[B, C, T]`` with the SAME param tree as
+    ``nn.Dense`` (kernel ``[in, out]``, bias ``[out]``) so channels-first and
+    channels-last model variants share checkpoints bit-for-bit.
+
+    Channels-first keeps the (large) time axis on the TPU lane dimension;
+    channels-last waveform-rate tensors with 16-48 channels lane-pad to 128
+    (~3-8x HBM bloat), which dominates the training U-Net's step time."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", torch_kernel_init(), (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", torch_bias_init(self.in_features), (self.features,),
+            jnp.float32,
+        )
+        y = _dot_cf(x.astype(self.dtype), kernel.astype(self.dtype))
+        return (y + bias[:, None]).astype(self.dtype)
+
+
 class DepthwiseConv1d(nn.Module):
     """Depthwise conv along time with replicate padding (torch ``groups=C``)."""
 
@@ -116,12 +152,13 @@ class Conv1d(nn.Module):
     padding: str = "replicate"
     dtype: jnp.dtype = jnp.float32
     impl: str = "unfold"  # 'unfold' | 'phased' | 'lax' | 'auto'
+    channels_first: bool = False  # x is [B, C, T]; same params as [B, T, C]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, d = self.kernel_size, self.dilation
         pad = (k * d - d) // 2
-        in_features = x.shape[-1]
+        in_features = x.shape[1] if self.channels_first else x.shape[-1]
         kernel = self.param(
             "kernel",
             torch_kernel_init(),
@@ -132,6 +169,18 @@ class Conv1d(nn.Module):
             "bias", torch_bias_init(k * in_features), (self.features,), jnp.float32
         )
         x = x.astype(self.dtype)
+        if self.channels_first:
+            # unfold on the sublane (channel) axis: k time-shifted views
+            # stacked over C, one [k*Cin, Cout] contraction with time on
+            # lanes — no 128-lane padding of small channel counts
+            T = x.shape[-1]
+            mode = "edge" if self.padding == "replicate" else "constant"
+            xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode=mode)
+            views = [xp[:, :, i * d : i * d + T] for i in range(k)]
+            xu = jnp.concatenate(views, axis=1)  # [B, k*Cin, T]
+            w = kernel.reshape(k * in_features, self.features).astype(self.dtype)
+            y = _dot_cf(xu, w)
+            return (y + bias[:, None]).astype(self.dtype)
         impl = self.impl
         if impl == "auto":
             impl = (
@@ -342,12 +391,21 @@ class ConvNeXtStack(nn.Module):
 
 
 class FiLM(nn.Module):
-    """Feature-wise linear modulation (reference `decoder.py:88-97`)."""
+    """Feature-wise linear modulation (reference `decoder.py:88-97`).
+
+    With ``channels_first`` both ``x`` and ``cond`` are ``[B, C, T]``; the
+    param tree is identical to the channels-last form."""
 
     dtype: jnp.dtype = jnp.float32
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        if self.channels_first:
+            c, cc = x.shape[1], cond.shape[1]
+            scale = Dense1x1CF(c, cc, dtype=self.dtype, name="to_scale")(cond)
+            shift = Dense1x1CF(c, cc, dtype=self.dtype, name="to_shift")(cond)
+            return x * scale + shift
         c = x.shape[-1]
         scale = torch_dense(c, cond.shape[-1], dtype=self.dtype, name="to_scale")(cond)
         shift = torch_dense(c, cond.shape[-1], dtype=self.dtype, name="to_shift")(cond)

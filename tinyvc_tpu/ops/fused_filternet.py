@@ -22,10 +22,13 @@ from ..config import DecoderConfig
 from ..dsp.interp import downsample_time_int_t, upsample_time_int_t  # noqa: F401
 from .pallas.filter_stage import (
     _conv_weights_t,
+    down_chain_vjp,
     downsample_params_to_tuple,
     fused_conv3_t,
     fused_downsample_chain_t,
     fused_upsample_chain_t,
+    stem_conv_vjp,
+    up_chain_vjp,
     upsample_params_to_tuple,
 )
 
@@ -62,11 +65,23 @@ def filternet_fused_apply(
     source: jnp.ndarray,
     interpret: bool = False,
     source_channels_first: bool = False,
+    differentiable: bool = False,
+    dtype_name: str | None = None,
 ) -> jnp.ndarray:
     """fn_params: the ``filter_net`` subtree of the decoder's flax params.
     content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2]
     (or [B,H+2,L] with ``source_channels_first`` — the production serving
-    layout; see `decode_infer`) -> [B,L]."""
+    layout; see `decode_infer`) -> [B,L].
+
+    ``differentiable`` routes every stage through its custom_vjp entry
+    (Pallas forward AND backward kernels) so the GAN training step can
+    backprop through the fused U-Net; serving leaves it off (no residual
+    bookkeeping).
+
+    ``dtype_name`` overrides the MXU input dtype (training passes
+    'bfloat16' even under the fp32 profile — XLA's own fp32 matmuls demote
+    operands to bf16 under ``--xla_allow_excess_precision``, so this
+    matches the baseline's effective precision at kernel speed)."""
     channels = list(cfg.filter_channels)
     factors = list(cfg.filter_factors)
     dt = jnp.dtype(cfg.compute_dtype)
@@ -107,14 +122,30 @@ def filternet_fused_apply(
             1, 2,
         )  # [B, H+2+pad, L]
 
-    dname = cfg.compute_dtype
+    dname = dtype_name or cfg.compute_dtype
+
+    # Differentiable mode: the backward kernels hold forward weights AND
+    # their transposes AND gradient accumulators in VMEM — at the deep
+    # stages (C=192/384, frame-rate time lengths) that exceeds the 16 MB
+    # budget, and those stages are a rounding error of the runtime anyway.
+    # Route a stage through the kernels only when its time axis is long and
+    # its channel count small; otherwise fall back to the channels-first
+    # flax math (XLA-differentiable, same params).
+    def _diff_kernel_ok(c_in: int, T: int) -> bool:
+        return T >= 1024 and c_in <= 96
+
     skips_t = []
     w0, b0 = _conv_weights_t(fn_params["down_0"])
-    src_t = fused_conv3_t(
-        src_t, w0, b0, dtype_name=dname,
-        t_blk=_t_blk_for(channels[-1], L, dname), interpret=interpret,
-        w_cin=n_src + 1,
-    )
+    stem_blk = _t_blk_for(channels[-1], L, dname)
+    if differentiable:
+        src_t = stem_conv_vjp(
+            dname, stem_blk, interpret, n_src + 1, src_t, w0, b0
+        )
+    else:
+        src_t = fused_conv3_t(
+            src_t, w0, b0, dtype_name=dname, t_blk=stem_blk,
+            interpret=interpret, w_cin=n_src + 1,
+        )
     skips_t.append(src_t)
     cs = list(reversed(channels[1:]))
     ns = cs[1:] + [channels[0]]
@@ -122,11 +153,21 @@ def filternet_fused_apply(
     for i, (n, f) in enumerate(zip(ns, fs)):
         z_t = downsample_time_int_t(src_t, f)
         w = downsample_params_to_tuple(fn_params[f"down_{i + 1}"])
-        src_t = fused_downsample_chain_t(
-            z_t, *w, dtype_name=dname,
-            t_blk=_t_blk_for(max(z_t.shape[1], n), z_t.shape[2], dname),
-            interpret=interpret,
-        )
+        blk = _t_blk_for(max(z_t.shape[1], n), z_t.shape[2], dname)
+        if differentiable and not _diff_kernel_ok(
+            max(z_t.shape[1], n), z_t.shape[2]
+        ):
+            from ..models.decoder import Downsample as _Down
+
+            src_t = _Down(
+                n, 1, dtype=dt, conv_impl=cfg.conv_impl, channels_first=True
+            ).apply({"params": fn_params[f"down_{i + 1}"]}, z_t)
+        elif differentiable:
+            src_t = down_chain_vjp(dname, blk, interpret, z_t, *w)
+        else:
+            src_t = fused_downsample_chain_t(
+                z_t, *w, dtype_name=dname, t_blk=blk, interpret=interpret
+            )
         skips_t.append(src_t)
 
     # up path; the last stage folds the model's k=7 fp32 output conv into
@@ -140,6 +181,7 @@ def filternet_fused_apply(
         c_in = x_t.shape[1]
         xu_t = upsample_time_int_t(x_t, f)
         w = upsample_params_to_tuple(fn_params[f"up_{i}"])
+        blk = _t_blk_for(c_in, xu_t.shape[2], dname)
         last = i == n_up - 1
         if last:
             wconv, bconv, wfilm, bfilm, w5, b5 = w
@@ -149,17 +191,31 @@ def filternet_fused_apply(
             w5c = jnp.dot(w_out, w5)  # [k, C]
             b5c = jnp.dot(w_out, b5)  # [k, 1]
             bout = fn_params["output_layer"]["bias"].reshape(1, 1)
-            x_t = fused_upsample_chain_t(
-                xu_t, cond_t, wconv, bconv, wfilm, bfilm, w5c, b5c,
-                dtype_name=dname,
-                t_blk=_t_blk_for(c_in, xu_t.shape[2], dname),
-                interpret=interpret, fold_k=k, bout=bout,
-            )
+            if differentiable:
+                x_t = up_chain_vjp(
+                    dname, blk, interpret, k,
+                    xu_t, cond_t, wconv, bconv, wfilm, bfilm, w5c, b5c, bout,
+                )
+            else:
+                x_t = fused_upsample_chain_t(
+                    xu_t, cond_t, wconv, bconv, wfilm, bfilm, w5c, b5c,
+                    dtype_name=dname, t_blk=blk,
+                    interpret=interpret, fold_k=k, bout=bout,
+                )
+        elif differentiable and not _diff_kernel_ok(c_in, xu_t.shape[2]):
+            from ..models.decoder import Upsample as _Up
+
+            x_t = _Up(
+                n, 1, dtype=dt, conv_impl=cfg.conv_impl, channels_first=True
+            ).apply({"params": fn_params[f"up_{i}"]}, xu_t, cond_t).astype(dt)
+        elif differentiable:
+            zero_bout = jnp.zeros((1, 1), jnp.float32)
+            x_t = up_chain_vjp(
+                dname, blk, interpret, 0, xu_t, cond_t, *w, zero_bout
+            ).astype(dt)
         else:
             x_t = fused_upsample_chain_t(
                 xu_t, cond_t, *w,
-                dtype_name=dname,
-                t_blk=_t_blk_for(c_in, xu_t.shape[2], dname),
-                interpret=interpret,
+                dtype_name=dname, t_blk=blk, interpret=interpret,
             ).astype(dt)
     return x_t[:, 0, :].astype(jnp.float32)

@@ -212,12 +212,186 @@ def _pallas_forward(
     # [B, L, 15] layout, which bloats ~8.5x on TPU, plus the transpose)
 
 
+def _osc_bwd_kernel(
+    f0_ref,  # [1, P, 3]  (prev, cur, next) per frame
+    g_ref,  # [1, H1, P, frame] cotangent block
+    out_ref,  # [1, P, 3*H1] per-frame (prev | cur | next) amp-grad parts
+    carry_ref,  # SMEM [1] phase carry
+    *,
+    frames_per_block: int,
+    frame_size: int,
+    num_out: int,
+    sample_rate: float,
+    min_frequency: float,
+):
+    """Amp-gradient of the oscillator bank, fused.
+
+    The XLA fallback's vjp recomputes ``sin`` at waveform rate in the
+    channels-last ``[B, L, H1]`` layout (lane-padded 15 -> 128, ~8.5x HBM
+    bloat) — measured 8.5 ms/step of the GAN program. Here phase is
+    recomputed from frame-rate f0 exactly as in the forward kernel, and the
+    only waveform-rate traffic is ONE read of the cotangent. Per frame p the
+    kernel emits the three interpolation-split partial sums
+    ``sum_i g[p,i] * sin(..)[p,i] * w_{prev|cur|next}(i)``; the host
+    shift-adds them into ``damps[p] = nextC[p-1] + curC[p] + prevC[p+1]``
+    (the exact transpose of the forward's edge-clamped (prev, cur, next)
+    stacking)."""
+    P = frames_per_block
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[0, 0] = 0.0
+
+    f0_prev = f0_ref[0, :, 0:1]
+    f0_cur = f0_ref[0, :, 1:2]
+    f0_next = f0_ref[0, :, 2:3]
+
+    a = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, frame_size), 1).astype(jnp.float32)
+        + 0.5
+    ) / frame_size - 0.5
+
+    def interp(prev, cur, nxt):
+        lo = prev * (-a) + cur * (1.0 + a)
+        hi = cur * (1.0 - a) + nxt * a
+        return jnp.where(a < 0.0, lo, hi)
+
+    f0_s = interp(f0_prev, f0_cur, f0_next)
+    uv_s = interp(
+        (f0_prev > min_frequency).astype(jnp.float32),
+        (f0_cur > min_frequency).astype(jnp.float32),
+        (f0_next > min_frequency).astype(jnp.float32),
+    )
+
+    d = f0_s * (1.0 / sample_rate)
+    col = jax.lax.broadcasted_iota(jnp.int32, (frame_size, frame_size), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (frame_size, frame_size), 0)
+    tri_inc = (row <= col).astype(jnp.float32)
+    intra = jnp.dot(
+        d, tri_inc,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    frame_sums = intra[:, frame_size - 1 : frame_size]
+    fs_mod = frame_sums - jnp.floor(frame_sums)
+    colp = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    tri_exc = (colp < rowp).astype(jnp.float32)
+    offsets = jnp.dot(
+        tri_exc, fs_mod,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    offsets = offsets - jnp.floor(offsets)
+    phase = carry_ref[0, 0] + offsets + intra
+
+    total = carry_ref[0, 0] + offsets[P - 1, 0] + fs_mod[P - 1, 0]
+    carry_ref[0, 0] = total - jnp.floor(total)
+
+    # interpolation weight split (transpose of `interp` w.r.t. its 3 taps)
+    w_prev = jnp.where(a < 0.0, -a, 0.0)  # [1, frame]
+    w_cur = jnp.where(a < 0.0, 1.0 + a, 1.0 - a)
+    w_next = jnp.where(a < 0.0, 0.0, a)
+
+    two_pi = 2.0 * math.pi
+    H1 = num_out
+    prev_cols, cur_cols, next_cols = [], [], []
+    for h in range(H1):
+        k = float(h + 1)
+        ph = phase * k
+        frac = ph - jnp.floor(ph)
+        m = jnp.sin(two_pi * frac) * uv_s * g_ref[0, h]  # [P, frame]
+        prev_cols.append(jnp.sum(m * w_prev, axis=1, keepdims=True))
+        cur_cols.append(jnp.sum(m * w_cur, axis=1, keepdims=True))
+        next_cols.append(jnp.sum(m * w_next, axis=1, keepdims=True))
+    out_ref[0] = jnp.concatenate(prev_cols + cur_cols + next_cols, axis=1)
+
+
+def _pallas_backward_amps(
+    f0: jnp.ndarray,
+    g: jnp.ndarray,  # [B, H1, L] cotangent, channels-first
+    frame_size: int,
+    sample_rate: int,
+    min_frequency: float,
+    frames_per_block: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """damps [B, F, H1] from the waveform-rate cotangent; see `_osc_bwd_kernel`."""
+    B, F = f0.shape
+    H1 = g.shape[1]
+    lane_step = 128 // math.gcd(frame_size, 128)
+    step = max(8, lane_step)
+    P = max(step, (frames_per_block // step) * step)
+    F_pad = ((F + P - 1) // P) * P
+    if F_pad != F:
+        pad = F_pad - F
+        f0 = jnp.concatenate(
+            [f0, jnp.broadcast_to(f0[:, -1:], (B, pad))], axis=1
+        )
+        g = jnp.concatenate(
+            [g, jnp.zeros((B, H1, pad * frame_size), g.dtype)], axis=2
+        )
+    f0 = f0.astype(jnp.float32)
+    f0_pcn = jnp.stack(
+        [
+            jnp.concatenate([f0[:, :1], f0[:, :-1]], axis=1),
+            f0,
+            jnp.concatenate([f0[:, 1:], f0[:, -1:]], axis=1),
+        ],
+        axis=-1,
+    )
+    g4 = g.astype(jnp.float32).reshape(B, H1, F_pad, frame_size)
+
+    kernel = functools.partial(
+        _osc_bwd_kernel,
+        frames_per_block=P,
+        frame_size=frame_size,
+        num_out=H1,
+        sample_rate=float(sample_rate),
+        min_frequency=float(min_frequency),
+    )
+    parts = pl.pallas_call(
+        kernel,
+        grid=(B, F_pad // P),
+        in_specs=[
+            pl.BlockSpec((1, P, 3), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, H1, P, frame_size),
+                lambda b, t: (b, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P, 3 * H1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, F_pad, 3 * H1), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(f0_pcn, g4)
+    parts = parts[:, :F]
+    prev_c = parts[:, :, :H1]
+    cur_c = parts[:, :, H1 : 2 * H1]
+    next_c = parts[:, :, 2 * H1 :]
+    # transpose of the edge-clamped (prev, cur, next) shifts:
+    # frame p receives cur[p], prev[p+1] (it was frame p+1's "prev") and
+    # next[p-1]; the clamped edges fold back onto frames 0 / F-1.
+    damps = cur_c
+    damps = damps.at[:, :-1].add(prev_c[:, 1:])
+    damps = damps.at[:, 0].add(prev_c[:, 0])
+    damps = damps.at[:, 1:].add(next_c[:, :-1])
+    damps = damps.at[:, -1].add(next_c[:, -1])
+    return damps
+
+
 # Differentiation: pallas_call has no JVP/transpose rules, so the GAN
 # training step (which backprops through `decoder.dsp` into SourceNet's
 # amps head) would fail with the kernel engaged. Wrap it in a custom_vjp:
-# forward = Pallas kernel, backward = vjp of the mathematically identical
-# XLA chain (recomputed from the saved frame-rate inputs — cheap, and the
-# [B, L, H1] residuals never need to be stored).
+# forward = Pallas kernel; the amps gradient (the only one the GAN step
+# consumes — the encoder that produces f0 is frozen, reference
+# `train_decoder.py:67-68`) runs through `_osc_bwd_kernel`; the f0 gradient
+# falls back to the vjp of the mathematically identical XLA chain and is
+# dead-code-eliminated whenever nothing consumes it.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _osc(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
          interpret, transpose_out):
@@ -239,15 +413,22 @@ def _osc_fwd(f0, amps, frame_size, sample_rate, min_frequency,
 def _osc_bwd(frame_size, sample_rate, min_frequency, frames_per_block,
              interpret, transpose_out, res, g):
     f0, amps = res
-    if not transpose_out:
-        g = jnp.swapaxes(g, 1, 2)  # fallback chain is [B, L, H1]
+    g_t = jnp.swapaxes(g, 1, 2) if transpose_out else g  # [B, H1, L]
+    damps = _pallas_backward_amps(
+        f0, g_t, frame_size, sample_rate, min_frequency, frames_per_block,
+        interpret,
+    ).astype(amps.dtype)
+    # f0 gradient: XLA-chain vjp (df0-only; DCE removes this whole branch
+    # when the caller never consumes df0 — the GAN step's encoder is frozen)
+    g_l = jnp.swapaxes(g_t, 1, 2)  # fallback chain is [B, L, H1]
     _, vjp = jax.vjp(
-        lambda f, a: _xla_fallback(f, a, frame_size, sample_rate, min_frequency),
+        lambda f: _xla_fallback(
+            f, amps.astype(jnp.float32), frame_size, sample_rate, min_frequency
+        ),
         f0.astype(jnp.float32),
-        amps.astype(jnp.float32),
     )
-    df0, damps = vjp(g.astype(jnp.float32))
-    return df0, damps
+    (df0,) = vjp(g_l.astype(jnp.float32))
+    return df0.astype(f0.dtype), damps
 
 
 _osc.defvjp(_osc_fwd, _osc_bwd)

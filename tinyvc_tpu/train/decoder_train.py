@@ -110,6 +110,17 @@ def make_train_step(cfg: TinyVCConfig, d_join: bool, spec_loss_type: str = "ms-s
     else:
         raise ValueError(spec_loss_type)
 
+    default_dev = getattr(jax.config, "jax_default_device", None)
+    on_cpu = jax.default_backend() in ("cpu", "gpu") or (
+        default_dev is not None and default_dev.platform in ("cpu", "gpu")
+    )
+    fused_flag = cfg.decoder.use_fused_filter_train
+    use_fused = fused_flag == "on" or (fused_flag == "auto" and not on_cpu)
+    # with the fused path the DSP source stays channels-first [B, H+2, L]
+    dsp_axis = (
+        1 if (use_fused or cfg.decoder.filter_layout == "cf") else -1
+    )
+
     def forward_fake(gen_params, enc_params, wave, key):
         spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
         content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
@@ -120,6 +131,32 @@ def make_train_step(cfg: TinyVCConfig, d_join: bool, spec_loss_type: str = "ms-s
             )
         )
         energy = estimate_energy(wave, cfg.audio.energy_frame_size)
+        if use_fused:
+            # U-Net through the fused Pallas kernels with custom_vjp
+            # backward kernels (ops/pallas/filter_stage.py) — the XLA
+            # layer-by-layer U-Net fwd+bwd dominates the step otherwise
+            from ..ops.fused_filternet import filternet_fused_apply
+
+            amps, kernel = decoder.apply(
+                gen_params, z_fake, f0, energy,
+                method=lambda m, c, f_, e: m.source_net(c, f_, e),
+            )
+            source_t = decoder.apply(
+                gen_params, f0, amps, kernel, key,
+                method=lambda m, f_, a, k_, key_: m.dsp(
+                    f_, a, k_, key_, channels_first=True
+                ),
+            )
+            fake = filternet_fused_apply(
+                gen_params["params"]["filter_net"], cfg.decoder,
+                z_fake, f0, energy, source_t,
+                interpret=on_cpu, source_channels_first=True,
+                differentiable=True,
+                # bf16 MXU inputs on TPU (matches XLA's excess-precision
+                # demotion); CPU interpret runs lack a bf16 dot — keep fp32
+                dtype_name=None if on_cpu else "bfloat16",
+            )
+            return fake, source_t
         fake, dsp_out = decoder.apply(
             gen_params, z_fake, f0, energy, key, method=decoder.train_forward
         )
@@ -136,7 +173,9 @@ def make_train_step(cfg: TinyVCConfig, d_join: bool, spec_loss_type: str = "ms-s
         # ---- generator phase ----
         def g_loss_fn(gen_params):
             fake, dsp_out = forward_fake(gen_params, enc_params, wave, k_noise)
-            loss_dsp = spec_loss(jnp.sum(dsp_out, axis=-1), wave)
+            # dsp source layout: harmonic+noise channels on axis 1 when
+            # channels-first (fused path / filter_layout 'cf')
+            loss_dsp = spec_loss(jnp.sum(dsp_out, axis=dsp_axis), wave)
             loss_spec = spec_loss(fake, wave)
             metrics = {"loss_spec": loss_spec, "loss_dsp": loss_dsp}
             loss_g = (
