@@ -78,9 +78,12 @@ def main():
     txt = low.compile().as_text()
     meta = {}
     for m in re.finditer(
-        r"^\s*%?([\w.\-]+) = [^\n]*?op_name=\"([^\"]*)\"", txt, re.M
+        r"^\s*%?([\w.\-]+) = ([^\s]+)[^\n]*?op_name=\"([^\"]*)\""
+        r"(?:[^\n]*?source_file=\"([^\"]*)\"[^\n]*?source_line=(\d+))?",
+        txt, re.M,
     ):
-        meta[m.group(1)] = m.group(2)
+        src = f" {m.group(4)}:{m.group(5)}" if m.group(4) else ""
+        meta[m.group(1)] = f"{m.group(2)[:24]} {m.group(3)}{src}"
 
     traces = sorted(glob.glob("/tmp/jaxtrace_convert/plugins/profile/*/*.trace.json.gz"))
     with gzip.open(traces[-1]) as f:

@@ -1,0 +1,50 @@
+"""Banded-matmul Pallas resampling vs the XLA tent-conv reference
+(interpret mode on CPU). Exact parity — same align_corners=False
+semantics, fp32 math."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tinyvc_tpu.dsp.interp import downsample_time_int_t, upsample_time_int_t
+from tinyvc_tpu.ops.pallas.resample import (
+    pallas_downsample_t,
+    pallas_upsample_t,
+)
+
+
+def test_pallas_upsample_matches_tent_conv(rng):
+    # the U-Net's factors plus the energy path's x64
+    for f, T in [(5, 2560), (4, 1920), (3, 1111), (2, 640), (64, 750)]:
+        x = jnp.asarray(rng.standard_normal((2, 8, T)).astype(np.float32))
+        ref = upsample_time_int_t(x, f)
+        got = pallas_upsample_t(x, f, t_blk=128 * f * 4, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, : f * T]), np.asarray(ref), atol=1e-5,
+            err_msg=f"factor {f}",
+        )
+
+
+def test_pallas_downsample_matches_decimation(rng):
+    for f, T in [(5, 12800), (4, 1920), (3, 1113), (2, 640)]:
+        x = jnp.asarray(rng.standard_normal((2, 8, T)).astype(np.float32))
+        ref = downsample_time_int_t(x, f)
+        got = pallas_downsample_t(x, f, t_blk=256, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, : T // f]), np.asarray(ref), atol=1e-5,
+            err_msg=f"factor {f}",
+        )
+
+
+def test_pallas_upsample_multi_tile_boundaries(rng):
+    """Values must be continuous across tile boundaries (the streaming
+    window carries the band margin)."""
+    f, T = 4, 4096
+    x = jnp.asarray(rng.standard_normal((1, 8, T)).astype(np.float32))
+    small = pallas_upsample_t(x, f, t_blk=128 * f, interpret=True)
+    big = pallas_upsample_t(x, f, t_blk=128 * f * 8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(small[:, :, : f * T]), np.asarray(big[:, :, : f * T]),
+        atol=1e-6,
+    )

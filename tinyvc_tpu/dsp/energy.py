@@ -35,7 +35,17 @@ def estimate_energy(wave: jnp.ndarray, frame_size: int = 64) -> jnp.ndarray:
     )
     P = pooled.shape[-1]
     if L % P == 0:
-        # integer factor: tent-kernel transposed conv (native TPU lowering)
-        # instead of a waveform-rate lane gather — identical semantics
-        return upsample_time_int_t(pooled[:, None, :], L // P)[:, 0, :]
+        # integer factor: on TPU, the banded-matmul Pallas kernel (XLA's
+        # grouped-conv lowering costs ~1 ms of layout copies at serving
+        # shapes); batch rides the channel axis either way
+        f = L // P
+        default_dev = getattr(jax.config, "jax_default_device", None)
+        on_cpu = jax.default_backend() in ("cpu", "gpu") or (
+            default_dev is not None and default_dev.platform in ("cpu", "gpu")
+        )
+        if not on_cpu and f % 2 == 0 and wave.shape[0] % 8 == 0:
+            from ..ops.pallas.resample import pallas_upsample_t
+
+            return pallas_upsample_t(pooled[None, :, :], f)[0, :, :L]
+        return upsample_time_int_t(pooled[None, :, :], f)[0]
     return linear_interp_last(pooled, L)

@@ -138,15 +138,18 @@ def downsample_time_int(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return out[:, : T // f]
 
 
-def downsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+def downsample_time_int_t(
+    x: jnp.ndarray, factor: int, trim: bool = True
+) -> jnp.ndarray:
     """Channels-first variant of :func:`downsample_time_int`:
     ``[B, C, T] -> [B, C, T/factor]`` with identical align_corners=False
     semantics (one column for odd factors, the mean of the two centre
     columns for even ones).
 
-    Expressed as a stride-f conv (native TPU lowering) — a stride-f lane
-    slice/deinterleave is the same relayout pathology as the phase-stack
-    upsampling (see :func:`upsample_time_int_t`)."""
+    Expressed as a stride-f grouped conv (native TPU lowering; the
+    ``[B*C, 1, T]`` fold costs an extra relayout copy — measured slower) —
+    a stride-f lane slice/deinterleave is the same relayout pathology as
+    the phase-stack upsampling (see :func:`upsample_time_int_t`)."""
     if factor == 1:
         return x
     B, C, T = x.shape
@@ -155,44 +158,58 @@ def downsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         off, K = (f - 1) // 2, np.ones(1, np.float32)
     else:
         off, K = f // 2 - 1, np.full(2, 0.5, np.float32)
-    lhs = x[:, :, off:].reshape(B * C, 1, T - off)
-    rhs = jnp.asarray(K, x.dtype).reshape(1, 1, -1)
+    rhs = jnp.broadcast_to(
+        jnp.asarray(K, x.dtype).reshape(1, 1, -1), (C, 1, len(K))
+    )
     out = jax.lax.conv_general_dilated(
-        lhs,
+        x[:, :, off:],
         rhs,
         window_strides=(f,),
         padding=[(0, f)],
-        dimension_numbers=("NCH", "IOH", "NCH"),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=C,
     )
-    return out.reshape(B, C, -1)[:, :, : T // f]
+    return out[:, :, : T // f] if trim else out
 
 
-def upsample_time_int_t(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+def upsample_time_int_t(
+    x: jnp.ndarray, factor: int, trim: bool = True
+) -> jnp.ndarray:
     """Channels-first variant of :func:`upsample_time_int`:
     ``[B, C, T] -> [B, C, T*factor]`` with identical
     align_corners=False semantics (used by the fused-kernel serving path,
     which keeps the U-Net up path transposed end-to-end).
 
-    Implemented as an lhs-dilated (transposed) conv with the tent kernel:
-    linear interpolation IS a 3f-tap interpolation filter after f-fold
-    zero-stuffing. XLA has a native TPU lowering for dilated convs; the
-    phase-stack closed form (``[B,C,T,f]`` stack + reshape) materialises a
-    stride-f lane interleave that the TPU executes at ~8 GB/s — measured
-    26 ms for the U-Net's final x5 stage vs ~1 ms for this form."""
+    Implemented as an lhs-dilated (transposed) grouped conv with the tent
+    kernel: linear interpolation IS a 3f-tap interpolation filter after
+    f-fold zero-stuffing. XLA has a native TPU lowering for dilated convs;
+    the phase-stack closed form (``[B,C,T,f]`` stack + reshape)
+    materialises a stride-f lane interleave that the TPU executes at
+    ~8 GB/s. The grouped NCH form beats the ``[B*C, 1, T]`` fold 3.6 vs
+    5.8 ms at the training up_4 shape (the fold's reshapes cost relayout
+    copies).
+
+    ``trim=False`` returns the raw conv output (a few columns longer than
+    ``f*T``): the crop slice is a full-array copy on TPU (~2.8 ms at the
+    serving up_4 shape), and consumers that read windows (the fused
+    Pallas stages) simply ignore the tail."""
     if factor == 1:
         return x
     B, C, T = x.shape
     f = factor
     # edge-extend one frame each side = the closed form's edge clamp
     xe = jnp.concatenate([x[:, :, :1], x, x[:, :, -1:]], axis=-1)
-    lhs = xe.reshape(B * C, 1, T + 2)
-    rhs = jnp.asarray(_tent_kernel(f), x.dtype).reshape(1, 1, 3 * f)
+    rhs = jnp.broadcast_to(
+        jnp.asarray(_tent_kernel(f), x.dtype).reshape(1, 1, 3 * f),
+        (C, 1, 3 * f),
+    )
     out = jax.lax.conv_general_dilated(
-        lhs,
+        xe,
         rhs,
         window_strides=(1,),
         padding=[(f - 1, 3 * f)],
         lhs_dilation=(f,),
-        dimension_numbers=("NCH", "IOH", "NCH"),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=C,
     )
-    return out.reshape(B, C, -1)[:, :, : f * T]
+    return out[:, :, : f * T] if trim else out

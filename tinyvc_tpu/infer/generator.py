@@ -76,11 +76,16 @@ def decode_infer(
         method=lambda m, c, f_, e: m.source_net(c, f_, e),
     )
     # channels-first source end-to-end: a waveform-rate [B, L, 16] tensor
-    # is lane-padded 16->128 on TPU (~8x HBM bloat); [B, 16, L] is not
+    # is lane-padded 16->128 on TPU (~8x HBM bloat); [B, 16, L] is not.
+    # The dsp concat also packs (energy | zero rows) so the fused stem's
+    # input needs no separate packing pass.
+    n_src = cfg.decoder.num_harmonics + 2  # harmonics + noise
+    pack_width = n_src + 1 + ((-(n_src + 1)) % 8)
     source_t = decoder.apply(
         dec_params, f0, amps, kernel, key, noise_angle,
         method=lambda m, f_, a, k_, key_, na: m.dsp(
-            f_, a, k_, key_, noise_angle=na, channels_first=True
+            f_, a, k_, key_, noise_angle=na, channels_first=True,
+            pack_energy=energy, pack_width=pack_width,
         ),
     )
     return filternet_fused_apply(
@@ -89,6 +94,8 @@ def decode_infer(
         # flag == 'on' on a CPU backend runs the kernels interpreted (tests)
         interpret=_on_cpu_backend(),
         source_channels_first=True,
+        source_prepacked=True,
+        n_prepacked_src=n_src,
     )
 
 

@@ -48,8 +48,14 @@ def decode_f0(
 ) -> jnp.ndarray:
     """Top-k softmax-weighted mean of class frequencies
     (reference `encoder.py:61-67`). logits ``[B, T, num_classes]`` ->
-    f0 ``[B, T]``."""
-    probs, indices = jax.lax.top_k(logits, k)
+    f0 ``[B, T]``.
+
+    k iterated argmax passes instead of ``lax.top_k`` — the latter lowers
+    to a full 512-class sort on TPU (measured 1.1 ms of the serving
+    pipeline at batch 16 x 10 s; the argmax form is ~0.1 ms)."""
+    from ..ops.retrieval import top_k_small
+
+    probs, indices = top_k_small(logits, k)
     probs = jax.nn.softmax(probs, axis=-1)
     freqs = id2freq(indices, classes_per_octave, min_frequency)
     f0 = jnp.sum(probs * freqs, axis=-1)

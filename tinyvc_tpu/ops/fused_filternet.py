@@ -43,13 +43,27 @@ def _dense(x, p, dt):
 def _t_blk_for(c: int, T: int, dtype_name: str) -> int:
     """VMEM-fitting tile length per stage: channels-first work buffers are
     [~4C, W], so shrink the time tile as C grows (and again for fp32
-    tiles, which double every buffer). Tiles stay 128-aligned."""
+    tiles, which double every buffer). Tiles stay 128-aligned.
+
+    Among the VMEM-fitting sizes, prefer one that DIVIDES T: with zero
+    alignment overhang the wrappers' crop slices and the pad's overhang
+    columns vanish (XLA elides the identity slice) — measured ~1-2 ms of
+    pure copies at serving shapes otherwise."""
     # scoped VMEM ~ 56*C*(t+2*HALO) bytes across the chain's live values
     # (films 4C + taps 3C + ~6 C-wide + DMA slots); 4096*24 keeps every
     # stage below the 16 MB limit with margin (C=384 -> t=256).
     budget = 4096 if dtype_name == "bfloat16" else 2048
     t = max(128, (budget * 24 // c) // 128 * 128)
-    return max(128, min(t, -(-T // 128) * 128))  # cap: one tile covers T
+    cover = -(-T // 128) * 128  # one tile covers T
+    if cover <= t:
+        return max(128, cover)
+    best = t
+    for cand in range(t, 127, -128):
+        if T % cand == 0:
+            if cand * 2 > t:  # don't shrink tiles below half the budget
+                best = cand
+            break
+    return max(128, best)
 
 
 def _log_f0_feature(f0):
@@ -67,6 +81,8 @@ def filternet_fused_apply(
     source_channels_first: bool = False,
     differentiable: bool = False,
     dtype_name: str | None = None,
+    source_prepacked: bool = False,
+    n_prepacked_src: int = 16,
 ) -> jnp.ndarray:
     """fn_params: the ``filter_net`` subtree of the decoder's flax params.
     content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2]
@@ -96,7 +112,14 @@ def filternet_fused_apply(
     # are zero-padded to the Mosaic sublane granule inside the same concat
     # that appends energy (fused_conv3_t pads the weight columns to match).
     B, L = energy.shape
-    if source_channels_first:
+    if source_prepacked:
+        # the DSP stage already appended (energy | zero-pad rows) — see
+        # Decoder.dsp(pack_energy=...): the [B, 24, L] packing pass here
+        # (1.95 ms at serving shapes) disappears entirely
+        assert source_channels_first and source.shape[1] % 8 == 0
+        n_src = n_prepacked_src
+        src_t = source.astype(dt)
+    elif source_channels_first:
         n_src = source.shape[1]
         npad = (-(n_src + 1)) % 8
         src_t = jnp.concatenate(
@@ -150,23 +173,40 @@ def filternet_fused_apply(
     cs = list(reversed(channels[1:]))
     ns = cs[1:] + [channels[0]]
     fs = list(reversed(factors[1:]))
+    cur_len = L
     for i, (n, f) in enumerate(zip(ns, fs)):
-        z_t = downsample_time_int_t(src_t, f)
+        cur_len //= f
         w = downsample_params_to_tuple(fn_params[f"down_{i + 1}"])
-        blk = _t_blk_for(max(z_t.shape[1], n), z_t.shape[2], dname)
-        if differentiable and not _diff_kernel_ok(
-            max(z_t.shape[1], n), z_t.shape[2]
-        ):
-            from ..models.decoder import Downsample as _Down
+        blk = _t_blk_for(max(src_t.shape[1], n), cur_len, dname)
+        if differentiable:
+            z_t = downsample_time_int_t(src_t, f)
+            if not _diff_kernel_ok(max(z_t.shape[1], n), cur_len):
+                from ..models.decoder import Downsample as _Down
 
-            src_t = _Down(
-                n, 1, dtype=dt, conv_impl=cfg.conv_impl, channels_first=True
-            ).apply({"params": fn_params[f"down_{i + 1}"]}, z_t)
-        elif differentiable:
-            src_t = down_chain_vjp(dname, blk, interpret, z_t, *w)
+                src_t = _Down(
+                    n, 1, dtype=dt, conv_impl=cfg.conv_impl,
+                    channels_first=True,
+                ).apply({"params": fn_params[f"down_{i + 1}"]}, z_t)
+            else:
+                src_t = down_chain_vjp(dname, blk, interpret, z_t, *w)
         else:
+            # untrimmed decimation: the crop slice is a full-array copy,
+            # and the kernel reads only [0, cur_len) windows anyway. At
+            # waveform rates the banded-matmul Pallas kernel replaces the
+            # XLA grouped conv (whose channels-minor layout costs
+            # full-array transpose copies; ops/pallas/resample.py)
+            if cur_len >= 8192:
+                from .pallas.resample import pallas_downsample_t
+
+                z_t = pallas_downsample_t(
+                    src_t[:, :, : cur_len * f], f, interpret=interpret
+                )
+            else:
+                z_t = downsample_time_int_t(src_t[:, :, : cur_len * f], f,
+                                            trim=False)
             src_t = fused_downsample_chain_t(
-                z_t, *w, dtype_name=dname, t_blk=blk, interpret=interpret
+                z_t, *w, dtype_name=dname, t_blk=blk, interpret=interpret,
+                out_len=cur_len,
             )
         skips_t.append(src_t)
 
@@ -179,9 +219,18 @@ def filternet_fused_apply(
     for i, (n, f) in enumerate(zip(ns_up, factors)):
         cond_t = skips_t[len(skips_t) - 1 - i]
         c_in = x_t.shape[1]
-        xu_t = upsample_time_int_t(x_t, f)
+        # serving: untrimmed tent-conv output; the chain kernel reads only
+        # [0, cond_len) windows, so the crop copy never materialises. At
+        # waveform rates, Pallas banded-matmul upsampling (see the down
+        # path note)
+        if not differentiable and cond_t.shape[2] >= 8192:
+            from .pallas.resample import pallas_upsample_t
+
+            xu_t = pallas_upsample_t(x_t, f, interpret=interpret)
+        else:
+            xu_t = upsample_time_int_t(x_t, f, trim=differentiable)
         w = upsample_params_to_tuple(fn_params[f"up_{i}"])
-        blk = _t_blk_for(c_in, xu_t.shape[2], dname)
+        blk = _t_blk_for(c_in, cond_t.shape[2], dname)
         last = i == n_up - 1
         if last:
             wconv, bconv, wfilm, bfilm, w5, b5 = w

@@ -188,6 +188,133 @@ def _kernel(
     out_ref[0] = out[:, HALO : HALO + t_blk].astype(out_ref.dtype)
 
 
+def _stream_window(hbm_refs, row_offsets, buf, sems, b, i, step, slot, *,
+                   t_blk: int, nt: int):
+    """Single-read streaming windows: per tile, ONE ``core + right-halo``
+    DMA per operand (size ``t_blk + HALO`` from UNPADDED [B, C, T] HBM,
+    T = nt * t_blk exactly); the next tile's LEFT halo is copied
+    VMEM->VMEM from the current buffer before the prefetch, and the
+    sequence edges are edge-replicate filled in VMEM. Kills the XLA-side
+    pack/edge-pad passes of the padded-window scheme (~2 full HBM
+    round-trips per stage) and never re-reads halo bytes from HBM.
+
+    hbm_refs: list of [B, C_j, T] ANY refs; row_offsets: their sublane
+    offsets in the shared ``buf`` scratch [2, sumC, t_blk + 2*HALO]."""
+    W = t_blk + 2 * HALO
+
+    def dma(slot_idx, bb, ii, last, j):
+        n = t_blk if last else t_blk + HALO
+        ref = hbm_refs[j]
+        r0 = row_offsets[j]
+        r1 = row_offsets[j + 1]
+        return pltpu.make_async_copy(
+            ref.at[bb, :, pl.ds(ii * t_blk, n)],
+            buf.at[slot_idx, slice(r0, r1), pl.ds(HALO, n)],
+            sems.at[slot_idx, j],
+        )
+
+    def start(slot_idx, bb, ii):
+        if nt == 1:  # static: the only tile is the last (both edges)
+            for j in range(len(hbm_refs)):
+                dma(slot_idx, bb, ii, True, j).start()
+            return
+
+        @pl.when(ii == nt - 1)
+        def _():
+            for j in range(len(hbm_refs)):
+                dma(slot_idx, bb, ii, True, j).start()
+
+        @pl.when(ii < nt - 1)
+        def _():
+            for j in range(len(hbm_refs)):
+                dma(slot_idx, bb, ii, False, j).start()
+
+    def wait(slot_idx, ii):
+        if nt == 1:
+            for j in range(len(hbm_refs)):
+                dma(slot_idx, 0, 0, True, j).wait()
+            return
+
+        @pl.when(ii == nt - 1)
+        def _():
+            for j in range(len(hbm_refs)):
+                dma(slot_idx, 0, 0, True, j).wait()
+
+        @pl.when(ii < nt - 1)
+        def _():
+            for j in range(len(hbm_refs)):
+                dma(slot_idx, 0, 0, False, j).wait()
+
+    @pl.when(step == 0)
+    def _():
+        start(slot, b, i)
+
+    wait(slot, i)
+
+    # prefetch the next tile: VMEM-copy its left halo out of this window,
+    # then start its core DMA into the other slot
+    last_step = step == pl.num_programs(0) * nt - 1
+    nb = jnp.where(i + 1 < nt, b, b + 1)
+    ni = jnp.where(i + 1 < nt, i + 1, 0)
+
+    @pl.when(jnp.logical_not(last_step))
+    def _():
+        @pl.when(ni > 0)
+        def _():
+            buf[1 - slot, :, :HALO] = buf[slot, :, t_blk : t_blk + HALO]
+
+        start(1 - slot, nb, ni)
+
+    # sequence-edge fills (edge replication, matching the padded scheme)
+    nrows = buf.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        buf[slot, :, :HALO] = jnp.broadcast_to(
+            buf[slot, :, HALO : HALO + 1], (nrows, HALO)
+        )
+
+    @pl.when(i == nt - 1)
+    def _():
+        buf[slot, :, HALO + t_blk :] = jnp.broadcast_to(
+            buf[slot, :, HALO + t_blk - 1 : HALO + t_blk], (nrows, HALO)
+        )
+
+
+def _kernel_stream(
+    xu_hbm,  # [B, C, T] ANY, unpadded
+    cond_hbm,  # [B, C, T] ANY, unpadded
+    wconv_ref, bconv_ref, wfilm_ref, bfilm_ref, w5_ref, b5_ref, bout_ref,
+    out_ref,
+    buf,  # VMEM scratch [2, 2C, W]
+    sems,  # DMA sems [2, 2]
+    *,
+    t_blk: int,
+    nt: int,
+    dtype,
+    fold_k: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    step = b * nt + i
+    slot = jax.lax.rem(step, 2)
+    C = buf.shape[1] // 2
+    _stream_window(
+        [xu_hbm, cond_hbm], [0, C, 2 * C], buf, sems, b, i, step, slot,
+        t_blk=t_blk, nt=nt,
+    )
+    wconv = [wconv_ref[j].astype(dtype) for j in range(4)]
+    bconv = [bconv_ref[j].astype(jnp.float32) for j in range(4)]
+    out = _chain(
+        buf[slot], wconv, bconv,
+        wfilm_ref[:].astype(dtype), bfilm_ref[:].astype(jnp.float32),
+        w5_ref[:] if fold_k else w5_ref[:].astype(dtype),
+        b5_ref[:].astype(jnp.float32),
+        bout_ref[0, 0], dtype, fold_k,
+    )
+    out_ref[0] = out[:, HALO : HALO + t_blk].astype(out_ref.dtype)
+
+
 def upsample_params_to_tuple(p: Dict[str, Any]):
     """Flax Upsample params -> transposed/stacked kernel weight arrays."""
     wconv = jnp.stack(
@@ -242,43 +369,71 @@ def fused_upsample_chain_t(
     ``fold_k``: fold the model's final k-tap output conv into this stage —
     ``w5``/``b5`` must then be the pre-combined [k, C]/[k, 1] weights and
     ``bout`` the [1, 1] output bias; the result has Co = 1 (see `_chain`).
+
+    ``xu_t`` may be LONGER than ``cond_t`` (the interp producer's untrimmed
+    conv output — see `dsp.interp.upsample_time_int_t(trim=False)`); the
+    output length follows ``cond_t`` and the tail is never read.
     """
     assert t_blk % 128 == 0, "time tiles must stay 128-aligned"
     dtype = jnp.dtype(dtype_name)
-    B, C, T = xu_t.shape
+    B, C, T = cond_t.shape
+    assert xu_t.shape[2] >= T
     Co = 1 if fold_k else w5.shape[0]
     if bout is None:
         bout = jnp.zeros((1, 1), jnp.float32)
     align = (-T) % t_blk
-    xz = jnp.concatenate([xu_t, cond_t], axis=1)  # [B, 2C, T]
+    W = t_blk + 2 * HALO
+    wspec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    weights_in = [
+        wspec(4, C, 3 * C),
+        wspec(4, C, 1),
+        wspec(4 * C, C),
+        wspec(4 * C, 1),
+        wspec(*w5.shape),
+        wspec(*b5.shape),
+        wspec(1, 1),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, Co, t_blk), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+    )
+    if align == 0:
+        # streaming single-read scheme: unpadded operands, no XLA pack/pad
+        nt = T // t_blk
+        kernel = functools.partial(
+            _kernel_stream, t_blk=t_blk, nt=nt, dtype=dtype, fold_k=fold_k
+        )
+        if dtype != xu_t.dtype:
+            xu_t = xu_t.astype(dtype)
+            cond_t = cond_t.astype(dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nt),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + weights_in,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Co, T), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2 * C, W), dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )(xu_t, cond_t, wconv, bconv, wfilm, bfilm, w5, b5, bout)
+
+    xz = jnp.concatenate([xu_t[:, :, :T], cond_t], axis=1)  # [B, 2C, T]
     xz = jnp.pad(xz, ((0, 0), (0, 0), (HALO, HALO + align)), mode="edge")
     if dtype != xz.dtype:
         xz = xz.astype(dtype)
     nt = (T + align) // t_blk
-    W = t_blk + 2 * HALO
 
     kernel = functools.partial(
         _kernel, t_blk=t_blk, nt=nt, dtype=dtype, fold_k=fold_k
     )
-    wspec = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
     out = pl.pallas_call(
         kernel,
         grid=(B, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            wspec(4, C, 3 * C),
-            wspec(4, C, 1),
-            wspec(4 * C, C),
-            wspec(4 * C, 1),
-            wspec(*w5.shape),
-            wspec(*b5.shape),
-            wspec(1, 1),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, Co, t_blk), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + weights_in,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, Co, T + align), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * C, W), dtype),
@@ -379,6 +534,47 @@ def _down_kernel(
     out_ref[0] = out[:, HALO : HALO + t_blk].astype(out_ref.dtype)
 
 
+def _down_kernel_stream(
+    x_hbm,  # [B, Cin, T] ANY, unpadded (T = nt * t_blk)
+    wres_ref, bres_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    out_ref,
+    buf,  # VMEM [2, Cin, W]
+    sems,  # [2, 1]
+    *,
+    t_blk: int,
+    nt: int,
+    dtype,
+    stem: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    step = b * nt + i
+    slot = jax.lax.rem(step, 2)
+    _stream_window(
+        [x_hbm], [0, buf.shape[1]], buf, sems, b, i, step, slot,
+        t_blk=t_blk, nt=nt,
+    )
+    z = buf[slot]
+    if stem:
+        out = _conv_cf(
+            z.astype(jnp.float32),
+            w1_ref[:].astype(dtype),
+            b1_ref[:].astype(jnp.float32),
+            1,
+            dtype,
+        )
+    else:
+        out = _chain_down(
+            z,
+            wres_ref[:].astype(dtype), bres_ref[:].astype(jnp.float32),
+            w1_ref[:].astype(dtype), b1_ref[:].astype(jnp.float32),
+            w2_ref[:].astype(dtype), b2_ref[:].astype(jnp.float32),
+            w3_ref[:].astype(dtype), b3_ref[:].astype(jnp.float32),
+            dtype,
+        )
+    out_ref[0] = out[:, HALO : HALO + t_blk].astype(out_ref.dtype)
+
+
 def _conv_weights_t(p: Dict[str, Any]):
     """Flax Conv1d params -> transposed [Co, k*Cin] (tap-major rows match
     `_conv_cf`'s (t-d | t | t+d) sublane concat)."""
@@ -397,21 +593,47 @@ def downsample_params_to_tuple(p: Dict[str, Any]):
 
 
 def _run_down_kernel(
-    x_t, weights, Co, dtype_name, t_blk, interpret, stem
+    x_t, weights, Co, dtype_name, t_blk, interpret, stem, out_len=None
 ):
     dtype = jnp.dtype(dtype_name)
-    B, Cin, T = x_t.shape
+    B, Cin, Tin = x_t.shape
+    T = out_len if out_len is not None else Tin
+    assert Tin >= T
     align = (-T) % t_blk
-    xp = jnp.pad(x_t, ((0, 0), (0, 0), (HALO, HALO + align)), mode="edge")
+    W = t_blk + 2 * HALO
+    wspec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    if align == 0:
+        # streaming single-read scheme (see `_stream_window`)
+        nt = T // t_blk
+        kernel = functools.partial(
+            _down_kernel_stream, t_blk=t_blk, nt=nt, dtype=dtype, stem=stem
+        )
+        xs = x_t.astype(dtype) if dtype != x_t.dtype else x_t
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nt),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [wspec(*w.shape) for w in weights],
+            out_specs=pl.BlockSpec(
+                (1, Co, t_blk), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Co, T), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, Cin, W), dtype),
+                pltpu.SemaphoreType.DMA((2, 1)),
+            ],
+            interpret=interpret,
+        )(xs, *weights)
+    xp = jnp.pad(
+        x_t[:, :, :T], ((0, 0), (0, 0), (HALO, HALO + align)), mode="edge"
+    )
     if dtype != xp.dtype:
         xp = xp.astype(dtype)
     nt = (T + align) // t_blk
-    W = t_blk + 2 * HALO
     kernel = functools.partial(
         _down_kernel, t_blk=t_blk, nt=nt, dtype=dtype, stem=stem
-    )
-    wspec = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
@@ -432,7 +654,7 @@ def _run_down_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dtype_name", "interpret", "t_blk")
+    jax.jit, static_argnames=("dtype_name", "interpret", "t_blk", "out_len")
 )
 def fused_downsample_chain_t(
     x_t: jnp.ndarray,
@@ -440,13 +662,15 @@ def fused_downsample_chain_t(
     dtype_name: str = "bfloat16",
     t_blk: int = 8192,
     interpret: bool = False,
+    out_len: int | None = None,
 ) -> jnp.ndarray:
     """Channels-first Downsample body (after decimation):
-    [B, Cin, T] -> [B, Co, T]."""
+    [B, Cin, T] -> [B, Co, out_len or T]. ``x_t`` may be longer than
+    ``out_len`` (untrimmed decimation output; the tail is never read)."""
     assert t_blk % 128 == 0
     return _run_down_kernel(
         x_t, (wres, bres, w1, b1, w2, b2, w3, b3), wres.shape[0],
-        dtype_name, t_blk, interpret, stem=False,
+        dtype_name, t_blk, interpret, stem=False, out_len=out_len,
     )
 
 
@@ -1155,8 +1379,10 @@ def fused_conv3_t_bwd(
 
 def _bwd_blk(t_blk: int) -> int:
     """The backward kernels keep ~2.5x the forward's live VMEM (tap stacks +
-    recomputed activations + gradient flows): halve the tile."""
-    return max(128, t_blk // 2)
+    recomputed activations + gradient flows): halve the tile (and re-round
+    to the 128 alignment — divisor-aware forward tiles such as 3200 are
+    not powers of two)."""
+    return max(128, (t_blk // 2) // 128 * 128)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))

@@ -1,0 +1,207 @@
+"""Pallas TPU kernel: integer-factor linear resampling as blocked banded
+matmuls.
+
+XLA's lowering of the channels-first tent-conv resampling
+(`dsp/interp.py::upsample_time_int_t`) picks a channels-minor layout for
+grouped NCH convs and surrounds the conv with full-array transpose copies —
+measured 4.5 ms for the serving U-Net's final x5 upsample alone (the conv
+itself plus its layout copies), ~7 ms across all stages.
+
+This kernel exploits that resampling is a BANDED linear map: each
+128-lane block of the output depends on at most ``128/f + 3`` (upsample)
+or ``128*f + 3`` (downsample) input columns. Per output tile it runs a
+statically-unrolled loop of tiny ``[C, K] @ [K, 128m]`` MXU dots against a
+precomputed band matrix — ~25x fewer MACs than the dense map, no layout
+copies, time stays on lanes end-to-end.
+
+Semantics match ``F.interpolate(mode='linear', align_corners=False)``
+exactly (the same `_tent_kernel` / centre-pick construction as
+`dsp/interp.py`); the edge clamp comes from a 1-column edge pad of the
+coarse input (cheap: the coarse array is f x smaller).
+
+The output may be LONGER than ``f * T`` (tile alignment): consumers are
+the fused U-Net chain kernels, which read ``[0, T)`` windows and ignore
+the tail (`ops/fused_filternet.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _up_band_matrix(f: int, blk_out: int, k_in: int) -> np.ndarray:
+    """[k_in, blk_out] band: out lane l of a block starting at output
+    position 640j (blk_out = lcm(f,128)-style) reads coarse columns
+    relative to block start 128j-ish; with the coarse operand edge-padded
+    by 1, slice start = blk_out//f * j and row p maps to coarse index
+    (p - 1) relative to the block's first output sample's base."""
+    M = np.zeros((k_in, blk_out), np.float32)
+    for l in range(blk_out):
+        src = (l + 0.5) / f - 0.5  # coarse coordinate of output l
+        q0 = int(np.floor(src))
+        a = src - q0
+        # +1: the wrapper pads the coarse input with one edge column
+        for q, w in ((q0, 1.0 - a), (q0 + 1, a)):
+            p = q + 1
+            if 0 <= p < k_in and w != 0.0:
+                M[p, l] += w
+    return M
+
+
+def _down_band_matrix(f: int, blk_out: int, k_in: int) -> np.ndarray:
+    """[k_in, blk_out] decimation band (align_corners=False downsample:
+    centre pick for odd f, mean of the two centre columns for even f).
+    No edge pad needed: source indices stay within [0, f*blk_out)."""
+    M = np.zeros((k_in, blk_out), np.float32)
+    if f % 2 == 1:
+        off, taps = (f - 1) // 2, ((0, 1.0),)
+    else:
+        off, taps = f // 2 - 1, ((0, 0.5), (1, 0.5))
+    for l in range(blk_out):
+        for d, w in taps:
+            p = l * f + off + d
+            if p < k_in:
+                M[p, l] += w
+    return M
+
+
+def _resample_kernel(
+    x_hbm,  # [B, C, Tin_padded] ANY
+    m_ref,  # [k_in, blk_out] VMEM band matrix
+    out_ref,  # [1, C, t_blk]
+    buf,  # VMEM [2, C, win]
+    sems,  # [2]
+    *,
+    t_blk: int,
+    nt: int,
+    blk_out: int,
+    blk_in: int,
+    k_in: int,
+    dtype,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    step = b * nt + i
+    slot = jax.lax.rem(step, 2)
+    win = buf.shape[2]
+    in_step = (t_blk // blk_out) * blk_in  # input cols consumed per tile
+
+    def dma(slot_idx, bb, ii):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, :, pl.ds(ii * in_step, win)],
+            buf.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(slot, b, i).start()
+
+    dma(slot, b, i).wait()
+    last = step == pl.num_programs(0) * nt - 1
+    nb = jnp.where(i + 1 < nt, b, b + 1)
+    ni = jnp.where(i + 1 < nt, i + 1, 0)
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        dma(1 - slot, nb, ni).start()
+
+    x = buf[slot]
+    m = m_ref[:].astype(dtype)
+    blocks = []
+    for j in range(t_blk // blk_out):
+        xj = x[:, j * blk_in : j * blk_in + k_in].astype(dtype)
+        blocks.append(
+            jnp.dot(xj, m, preferred_element_type=jnp.float32)
+        )  # [C, blk_out]
+    out_ref[0] = jnp.concatenate(blocks, axis=1).astype(out_ref.dtype)
+
+
+def _run_resample(x, M, f, up, t_blk, interpret):
+    B, C, Tin = x.shape
+    k_in, blk_out = M.shape
+    blk_in = blk_out // f if up else blk_out * f
+    assert t_blk % blk_out == 0
+    Tout = f * Tin if up else Tin // f
+    # prefer a tile that divides Tout: the input pad then shrinks to the
+    # band margin instead of a full extra tile
+    cand = t_blk
+    while cand > blk_out and Tout % cand:
+        cand -= blk_out
+    t_blk = cand
+    nt = -(-Tout // t_blk)
+    in_step = (t_blk // blk_out) * blk_in
+    # pad the (f x smaller for upsampling) input: 1 leading edge column for
+    # the tent's clamp, trailing band-margin columns to cover the windows
+    win = in_step + -(-(k_in - blk_in) // 128) * 128
+    need = (nt - 1) * in_step + win
+    lead = 1 if up else 0
+    pad_r = need - Tin - lead
+    xp = jnp.pad(x, ((0, 0), (0, 0), (lead, pad_r)), mode="edge")
+    dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    if xp.dtype != dtype:
+        xp = xp.astype(dtype)
+    kernel = functools.partial(
+        _resample_kernel,
+        t_blk=t_blk, nt=nt, blk_out=blk_out, blk_in=blk_in, k_in=k_in,
+        dtype=dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                M.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, t_blk), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, nt * t_blk), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, win), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, jnp.asarray(M))
+    return out  # [B, C, nt*t_blk] — tail beyond Tout is edge junk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("factor", "t_blk", "interpret")
+)
+def pallas_upsample_t(
+    x: jnp.ndarray, factor: int, t_blk: int = 2560, interpret: bool = False
+) -> jnp.ndarray:
+    """[B, C, T] -> [B, C, >= factor*T] linear upsample (untrimmed tail).
+
+    ``t_blk`` is rounded to a multiple of 128*factor internally (so the
+    per-block input slices stay 128-lane aligned)."""
+    blk_out = 128 * factor
+    t_blk = max(blk_out, t_blk // blk_out * blk_out)
+    blk_in = 128
+    k_in = blk_in + 128  # band ( <= blk_in + 3 ) rounded to an aligned slab
+    M = _up_band_matrix(factor, blk_out, k_in)
+    return _run_resample(x, M, factor, True, t_blk, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("factor", "t_blk", "interpret")
+)
+def pallas_downsample_t(
+    x: jnp.ndarray, factor: int, t_blk: int = 2560, interpret: bool = False
+) -> jnp.ndarray:
+    """[B, C, T] -> [B, C, >= T//factor] decimation (untrimmed tail)."""
+    blk_out = 128
+    t_blk = max(blk_out, t_blk // blk_out * blk_out)
+    blk_in = blk_out * factor
+    k_in = blk_in + 128
+    M = _down_band_matrix(factor, blk_out, k_in)
+    return _run_resample(x, M, factor, False, t_blk, interpret)
