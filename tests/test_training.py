@@ -241,3 +241,43 @@ def test_fused_gan_step_matches_standard(rng):
         # identical params/noise; only the U-Net edge-band treatment and
         # fp32 summation order differ
         assert abs(la - lb) < 0.05 * abs(la) + 1e-3, (i, la, lb)
+
+
+def test_manual_vjp_post_join_matches_naive(rng):
+    """The single-disc-forward manual-vjp post-join step must produce the
+    SAME updated parameters and losses as the plain two-value_and_grad
+    reference structure (identical math, different trace)."""
+    cfg = small_config()
+    key = jax.random.PRNGKey(0)
+    _, enc_state = encoder_train.init_state(cfg, key)
+    state_a = decoder_train.init_state(cfg, jax.random.PRNGKey(1))
+    state_b = jax.tree_util.tree_map(lambda x: x, state_a)
+
+    B, L = 2, cfg.train.chunk_length
+    wave = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+
+    step_fast = decoder_train.make_train_step(cfg, d_join=True)
+    step_naive = decoder_train.make_train_step(
+        cfg, d_join=True, naive_post_join=True
+    )
+    for i in range(2):
+        k = jax.random.PRNGKey(7 + i)
+        state_a, ma = step_fast(state_a, enc_state.params, wave, k)
+        state_b, mb = step_naive(state_b, enc_state.params, wave, k)
+        for name in ("loss_g", "loss_d", "loss_adv", "loss_feat"):
+            np.testing.assert_allclose(
+                float(ma[name]), float(mb[name]), rtol=2e-4, err_msg=name
+            )
+    flat_a = jax.tree_util.tree_leaves(state_a.gen_params)
+    flat_b = jax.tree_util.tree_leaves(state_b.gen_params)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), atol=5e-5
+        )
+    for xa, xb in zip(
+        jax.tree_util.tree_leaves(state_a.disc_params),
+        jax.tree_util.tree_leaves(state_b.disc_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), atol=5e-5
+        )

@@ -179,7 +179,14 @@ def filternet_fused_apply(
         w = downsample_params_to_tuple(fn_params[f"down_{i + 1}"])
         blk = _t_blk_for(max(src_t.shape[1], n), cur_len, dname)
         if differentiable:
-            z_t = downsample_time_int_t(src_t, f)
+            if cur_len * f >= 8192:
+                from .pallas.resample import downsample_vjp
+
+                z_t = downsample_vjp(
+                    src_t, f, 2560, interpret, cur_len
+                )
+            else:
+                z_t = downsample_time_int_t(src_t, f)
             if not _diff_kernel_ok(max(z_t.shape[1], n), cur_len):
                 from ..models.decoder import Downsample as _Down
 
@@ -227,6 +234,12 @@ def filternet_fused_apply(
             from .pallas.resample import pallas_upsample_t
 
             xu_t = pallas_upsample_t(x_t, f, interpret=interpret)
+        elif differentiable and cond_t.shape[2] >= 8192:
+            from .pallas.resample import upsample_vjp
+
+            xu_t = upsample_vjp(
+                x_t, f, 128 * f * 4, interpret, cond_t.shape[2]
+            )
         else:
             xu_t = upsample_time_int_t(x_t, f, trim=differentiable)
         w = upsample_params_to_tuple(fn_params[f"up_{i}"])

@@ -205,3 +205,196 @@ def pallas_downsample_t(
     k_in = blk_in + 128
     M = _down_band_matrix(factor, blk_out, k_in)
     return _run_resample(x, M, factor, False, t_blk, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable entry points. The vjp of a banded linear resampling map is
+# the transposed banded map — the same kernel with a numerically transposed
+# band matrix. Gradients are exact (the maps are linear); the forward's
+# 1-column edge pad fan-in folds onto the first coarse sample.
+# ---------------------------------------------------------------------------
+
+
+def _up_transpose_band(f: int):
+    """Band for d(upsample)/dx. Coarse-output block j (128 columns, global
+    coarse index Q = 128j + q) gathers output cotangents from a g window
+    starting at global output index 128f*j - 128 (the wrapper zero-pads g
+    by 128 on the left so window starts stay 128-aligned). Translation
+    invariant in the interior; the clamp at sequence edges is applied by
+    the wrapper via the returned correction vectors."""
+    blk_out = 128
+    blk_in = 128 * f
+    k_in = blk_in + 256
+    M = np.zeros((k_in, blk_out), np.float32)
+    for q in range(blk_out):
+        Q = 1280 + q  # representative absolute coarse index (block j=10)
+        for r in range(-2 * f, 2 * f + 1):
+            l = f * Q + r
+            src = (l + 0.5) / f - 0.5
+            q0 = int(np.floor(src))
+            a = src - q0
+            for qq, w in ((q0, 1.0 - a), (q0 + 1, a)):
+                if qq == Q and w != 0.0:
+                    p = f * q + r + 128
+                    if 0 <= p < k_in:
+                        M[p, q] += w
+    # edge clamp corrections: left, outputs l whose q0 = -1 put their
+    # (1 - a) weight on x[0]; right, outputs whose q0 + 1 = T put their a
+    # weight on x[T-1]
+    corr_l = np.zeros(f, np.float32)
+    corr_r = np.zeros(f, np.float32)
+    for l in range(f):
+        src = (l + 0.5) / f - 0.5
+        if np.floor(src) < 0:
+            corr_l[l] = 1.0 - (src - np.floor(src))
+    for i in range(f):  # l = f*T - f + i; q0 + 1 == T <=> src > T - 1
+        src_rel = (i + 0.5) / f - 0.5  # src - (T - 1)
+        if src_rel > 0:
+            corr_r[i] = src_rel
+    return M, corr_l, corr_r
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def upsample_vjp(x, factor, t_blk, interpret, out_len):
+    """Differentiable Pallas upsample: [B, C, T] -> [B, C, out_len]."""
+    out = pallas_upsample_t(x, factor, t_blk=t_blk, interpret=interpret)
+    return out[:, :, :out_len]
+
+
+def _up_fwd(x, factor, t_blk, interpret, out_len):
+    return upsample_vjp(x, factor, t_blk, interpret, out_len), x.shape
+
+
+def _up_bwd(factor, t_blk, interpret, out_len, xshape, g):
+    B, C, Tq = xshape
+    f = factor
+    M, corr_l, corr_r = _up_transpose_band(f)
+    k_in, blk_out = M.shape
+    blk_in = 128 * f
+    gp = jnp.pad(g, ((0, 0), (0, 0), (128, 0)))  # align window starts
+    t_blk_c = max(blk_out, 1024 // blk_out * blk_out)
+    cand = t_blk_c
+    while cand > blk_out and Tq % cand:
+        cand -= blk_out
+    t_blk_c = cand
+    nt = -(-Tq // t_blk_c)
+    in_step = (t_blk_c // blk_out) * blk_in
+    win = in_step + -(-(k_in - blk_in) // 128) * 128
+    need = (nt - 1) * in_step + win
+    gp = jnp.pad(gp, ((0, 0), (0, 0), (0, max(0, need - gp.shape[2]))))
+    dtype = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
+    if gp.dtype != dtype:
+        gp = gp.astype(dtype)
+    kernel = functools.partial(
+        _resample_kernel,
+        t_blk=t_blk_c, nt=nt, blk_out=blk_out, blk_in=blk_in, k_in=k_in,
+        dtype=dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(M.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, t_blk_c), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, nt * t_blk_c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, win), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(gp, jnp.asarray(M))
+    gx = out[:, :, :Tq]
+    # sequence-edge clamp fan-in (tiny static einsums)
+    gx = gx.at[:, :, 0].add(
+        jnp.einsum("bcl,l->bc", g[:, :, :f].astype(jnp.float32),
+                   jnp.asarray(corr_l))
+    )
+    gx = gx.at[:, :, Tq - 1].add(
+        jnp.einsum("bcl,l->bc", g[:, :, out_len - f :].astype(jnp.float32),
+                   jnp.asarray(corr_r))
+    )
+    return (gx.astype(g.dtype),)
+
+
+upsample_vjp.defvjp(_up_fwd, _up_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def downsample_vjp(x, factor, t_blk, interpret, out_len):
+    """Differentiable Pallas decimation: [B, C, T] -> [B, C, out_len]."""
+    out = pallas_downsample_t(x, factor, t_blk=t_blk, interpret=interpret)
+    return out[:, :, :out_len]
+
+
+def _down_fwd(x, factor, t_blk, interpret, out_len):
+    return downsample_vjp(x, factor, t_blk, interpret, out_len), x.shape
+
+
+def _down_bwd_band(f: int) -> np.ndarray:
+    """Band for d(downsample)/dx: x-block j (128f cols, global
+    P = 128f*j + p) gathers cotangents of outputs q = (P - off - d)/f,
+    i.e. a g window starting at 128*j (aligned, no left pad)."""
+    blk_out = 128 * f
+    k_in = 256
+    M = np.zeros((k_in, blk_out), np.float32)
+    if f % 2 == 1:
+        off, taps = (f - 1) // 2, ((0, 1.0),)
+    else:
+        off, taps = f // 2 - 1, ((0, 0.5), (1, 0.5))
+    for p in range(blk_out):
+        for d, w in taps:
+            num = p - off - d
+            if num % f == 0 and 0 <= num // f < k_in:
+                M[num // f, p] += w
+    return M
+
+
+def _down_bwd(factor, t_blk, interpret, out_len, xshape, g):
+    B, C, Tin = xshape
+    f = factor
+    M = _down_bwd_band(f)
+    k_in, blk_out = M.shape
+    blk_in = 128
+    t_blk_c = max(blk_out, 2048 // blk_out * blk_out)
+    cand = t_blk_c
+    while cand > blk_out and Tin % cand:
+        cand -= blk_out
+    t_blk_c = cand
+    nt = -(-Tin // t_blk_c)
+    in_step = (t_blk_c // blk_out) * blk_in
+    win = in_step + -(-(k_in - blk_in) // 128) * 128
+    need = (nt - 1) * in_step + win
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, max(0, need - g.shape[2]))))
+    dtype = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
+    if gp.dtype != dtype:
+        gp = gp.astype(dtype)
+    kernel = functools.partial(
+        _resample_kernel,
+        t_blk=t_blk_c, nt=nt, blk_out=blk_out, blk_in=blk_in, k_in=k_in,
+        dtype=dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(M.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, t_blk_c), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, nt * t_blk_c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, win), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(gp, jnp.asarray(M))
+    return (out[:, :, :Tin].astype(g.dtype),)
+
+
+downsample_vjp.defvjp(_down_fwd, _down_bwd)

@@ -90,11 +90,22 @@ def center_crop(wave: jnp.ndarray, length: int) -> jnp.ndarray:
     return wave[:, c - half : c + half]
 
 
-def make_train_step(cfg: TinyVCConfig, d_join: bool, spec_loss_type: str = "ms-stft"):
+def make_train_step(
+    cfg: TinyVCConfig,
+    d_join: bool,
+    spec_loss_type: str = "ms-stft",
+    naive_post_join: bool = False,
+):
     """Returns a jittable (state, enc_params, wave, key) -> (state, metrics).
 
     ``d_join`` selects the pre/post discriminator-join program
     (reference `train_decoder.py:91,113-122`).
+
+    ``naive_post_join`` keeps the straightforward two-`value_and_grad`
+    post-join structure (each discriminator forward traced twice). The
+    default manual-vjp composition computes identical gradients with each
+    disc forward run once; `tests/test_training.py` asserts the
+    equivalence against this reference structure.
     """
     encoder = Encoder(cfg.encoder)
     decoder = Decoder(cfg.decoder, cfg.audio)
@@ -170,42 +181,76 @@ def make_train_step(cfg: TinyVCConfig, d_join: bool, spec_loss_type: str = "ms-s
         # volume augmentation (reference `train_decoder.py:94`)
         wave = wave * (jax.random.uniform(k_gain, (wave.shape[0], 1)) * 2.0)
 
-        # ---- generator phase ----
-        def g_loss_fn(gen_params):
-            fake, dsp_out = forward_fake(gen_params, enc_params, wave, k_noise)
-            # dsp source layout: harmonic+noise channels on axis 1 when
-            # channels-first (fused path / filter_layout 'cf')
-            loss_dsp = spec_loss(jnp.sum(dsp_out, axis=dsp_axis), wave)
-            loss_spec = spec_loss(fake, wave)
-            metrics = {"loss_spec": loss_spec, "loss_dsp": loss_dsp}
-            loss_g = (
-                loss_spec * cfg.train.weight_spec + loss_dsp * cfg.train.weight_dsp
+        if not d_join:
+            # ---- pre-join: spec + dsp losses only ----
+            def g_loss_fn(gen_params):
+                fake, dsp_out = forward_fake(
+                    gen_params, enc_params, wave, k_noise
+                )
+                loss_dsp = spec_loss(jnp.sum(dsp_out, axis=dsp_axis), wave)
+                loss_spec = spec_loss(fake, wave)
+                loss_g = (
+                    loss_spec * cfg.train.weight_spec
+                    + loss_dsp * cfg.train.weight_dsp
+                )
+                return loss_g, {"loss_spec": loss_spec, "loss_dsp": loss_dsp}
+
+            (loss_g, metrics), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.gen_params)
+            g_updates, gen_opt = gtx.update(
+                g_grads, state.gen_opt, state.gen_params
             )
-            if d_join:
+            gen_params = optax.apply_updates(state.gen_params, g_updates)
+            metrics["loss_g"] = loss_g
+            return GanTrainState(
+                gen_params=gen_params,
+                disc_params=state.disc_params,
+                gen_opt=gen_opt,
+                disc_opt=state.disc_opt,
+                step=state.step + 1,
+            ), metrics
+
+        if naive_post_join:
+            # reference structure for the equivalence test: plain nested
+            # value_and_grad, disc(real)/disc(fake) each traced twice
+            def g_loss_fn(gen_params):
+                fake, dsp_out = forward_fake(
+                    gen_params, enc_params, wave, k_noise
+                )
+                loss_dsp = spec_loss(jnp.sum(dsp_out, axis=dsp_axis), wave)
+                loss_spec = spec_loss(fake, wave)
                 real_crop = center_crop(wave, cfg.train.disc_crop)
                 fake_crop = center_crop(fake, cfg.train.disc_crop)
                 _, feats_real = disc.apply(state.disc_params, real_crop)
-                logits_fake, feats_fake = disc.apply(state.disc_params, fake_crop)
+                logits_fake, feats_fake = disc.apply(
+                    state.disc_params, fake_crop
+                )
                 loss_adv = generator_adversarial_loss(logits_fake)
                 loss_feat = feature_matching_loss(feats_real, feats_fake)
                 loss_g = (
-                    loss_g
+                    loss_spec * cfg.train.weight_spec
+                    + loss_dsp * cfg.train.weight_dsp
                     + loss_adv * cfg.train.weight_adv
                     + loss_feat * cfg.train.weight_feat
                 )
-                metrics.update({"loss_adv": loss_adv, "loss_feat": loss_feat})
-            return loss_g, (metrics, fake)
+                metrics = {
+                    "loss_spec": loss_spec,
+                    "loss_dsp": loss_dsp,
+                    "loss_adv": loss_adv,
+                    "loss_feat": loss_feat,
+                }
+                return loss_g, (metrics, fake)
 
-        (loss_g, (metrics, fake)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.gen_params)
-        g_updates, gen_opt = gtx.update(g_grads, state.gen_opt, state.gen_params)
-        gen_params = optax.apply_updates(state.gen_params, g_updates)
-        metrics["loss_g"] = loss_g
+            (loss_g, (metrics, fake)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.gen_params)
+            g_updates, gen_opt = gtx.update(
+                g_grads, state.gen_opt, state.gen_params
+            )
+            gen_params = optax.apply_updates(state.gen_params, g_updates)
+            metrics["loss_g"] = loss_g
 
-        # ---- discriminator phase ----
-        disc_params, disc_opt = state.disc_params, state.disc_opt
-        if d_join:
             fake = jax.lax.stop_gradient(fake)
             real_crop = center_crop(wave, cfg.train.disc_crop)
             fake_crop = center_crop(fake, cfg.train.disc_crop)
@@ -215,18 +260,103 @@ def make_train_step(cfg: TinyVCConfig, d_join: bool, spec_loss_type: str = "ms-s
                 logits_fake, _ = disc.apply(dp, fake_crop)
                 return discriminator_adversarial_loss(logits_real, logits_fake)
 
-            loss_d, d_grads = jax.value_and_grad(d_loss_fn)(disc_params)
-            d_updates, disc_opt = dtx.update(d_grads, disc_opt, disc_params)
-            disc_params = optax.apply_updates(disc_params, d_updates)
+            loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+            d_updates, disc_opt = dtx.update(
+                d_grads, state.disc_opt, state.disc_params
+            )
+            disc_params = optax.apply_updates(state.disc_params, d_updates)
             metrics["loss_d"] = loss_d
+            return GanTrainState(
+                gen_params=gen_params,
+                disc_params=disc_params,
+                gen_opt=gen_opt,
+                disc_opt=disc_opt,
+                step=state.step + 1,
+            ), metrics
 
-        new_state = GanTrainState(
+        # ---- post-join: manual vjp composition so each discriminator
+        # forward runs ONCE (the naive two-phase structure runs
+        # disc(real) and disc(fake) twice each — XLA does not CSE across
+        # the two grad contexts; ~3 ms/step of MRD/MPD forwards) ----
+        B, L = wave.shape
+        crop_len = cfg.train.disc_crop
+        c0 = L // 2 - crop_len // 2
+        real_crop = jax.lax.dynamic_slice(wave, (0, c0), (B, crop_len))
+        (logits_real, feats_real), vjp_real = jax.vjp(
+            lambda dp: disc.apply(dp, real_crop), state.disc_params
+        )
+
+        (fake, dsp_out), vjp_gen = jax.vjp(
+            lambda gp: forward_fake(gp, enc_params, wave, k_noise),
+            state.gen_params,
+        )
+        fake_crop = jax.lax.dynamic_slice(fake, (0, c0), (B, crop_len))
+        (logits_fake, feats_fake), vjp_fake = jax.vjp(
+            lambda dp, xx: disc.apply(dp, xx), state.disc_params, fake_crop
+        )
+
+        # generator head: losses as a function of (fake, dsp_out,
+        # logits_fake, feats_fake) with disc(real) features as constants
+        def g_head(fake_, dsp_, lf, ff):
+            loss_dsp = spec_loss(jnp.sum(dsp_, axis=dsp_axis), wave)
+            loss_spec = spec_loss(fake_, wave)
+            loss_adv = generator_adversarial_loss(lf)
+            loss_feat = feature_matching_loss(feats_real, ff)
+            loss_g = (
+                loss_spec * cfg.train.weight_spec
+                + loss_dsp * cfg.train.weight_dsp
+                + loss_adv * cfg.train.weight_adv
+                + loss_feat * cfg.train.weight_feat
+            )
+            return loss_g, {
+                "loss_spec": loss_spec,
+                "loss_dsp": loss_dsp,
+                "loss_adv": loss_adv,
+                "loss_feat": loss_feat,
+            }
+
+        (loss_g, metrics), head_grads = jax.value_and_grad(
+            g_head, argnums=(0, 1, 2, 3), has_aux=True
+        )(fake, dsp_out, logits_fake, feats_fake)
+        g_fake, g_dsp, g_lf, g_ff = head_grads
+        # adv/FM gradient flows into fake through the discriminator; its
+        # disc-params component is discarded (the G step never updates D)
+        _, g_fake_crop = vjp_fake((g_lf, g_ff))
+        g_fake = g_fake + jax.lax.pad(
+            g_fake_crop, jnp.zeros((), g_fake.dtype),
+            ((0, 0, 0), (c0, L - c0 - crop_len, 0)),
+        )
+        (g_grads,) = vjp_gen((g_fake, g_dsp))
+        g_updates, gen_opt = gtx.update(g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+        metrics["loss_g"] = loss_g
+
+        # discriminator phase: reuse both primal forwards' residuals
+        def d_head(lr, lf):
+            return discriminator_adversarial_loss(lr, lf)
+
+        loss_d, (d_lr, d_lf) = jax.value_and_grad(d_head, argnums=(0, 1))(
+            logits_real, logits_fake
+        )
+        zeros_fr = jax.tree_util.tree_map(jnp.zeros_like, feats_real)
+        zeros_ff = jax.tree_util.tree_map(jnp.zeros_like, feats_fake)
+        (d_grads_real,) = vjp_real((d_lr, zeros_fr))
+        d_grads_fake, _ = vjp_fake((d_lf, zeros_ff))
+        d_grads = jax.tree_util.tree_map(
+            jnp.add, d_grads_real, d_grads_fake
+        )
+        d_updates, disc_opt = dtx.update(
+            d_grads, state.disc_opt, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+        metrics["loss_d"] = loss_d
+
+        return GanTrainState(
             gen_params=gen_params,
             disc_params=disc_params,
             gen_opt=gen_opt,
             disc_opt=disc_opt,
             step=state.step + 1,
-        )
-        return new_state, metrics
+        ), metrics
 
     return train_step
