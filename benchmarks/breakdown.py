@@ -129,6 +129,32 @@ def main():
             f"({'worthwhile' if max(t_dft, t_mem_min) < 0.5 * dt else 'marginal'})",
             flush=True,
         )
+    if want("spectrogram_pallas"):
+        from tinyvc_tpu.ops.pallas.spectrogram import pallas_spectrogram
+
+        for mode in ("bf16x3", "bfloat16"):
+            results[f"spectrogram_pallas_{mode}"] = timed_loop(
+                lambda i, c, w, m=mode: pallas_spectrogram(
+                    w + c * 1e-20, 1920, 480, dtype_name=m
+                ),
+                wave, iters=iters, label=f"spectrogram pallas {mode}",
+            )
+    if want("knn_pallas"):
+        from tinyvc_tpu.ops.pallas.knn import pallas_match_features
+
+        content_k = jnp.asarray(
+            rng.standard_normal((B, F, 768)).astype(np.float32)
+        )
+        dict_k = jnp.asarray(
+            rng.standard_normal((N, 768)).astype(np.float32)
+        )
+        for mode in ("bf16x3", "bfloat16"):
+            results[f"knn_pallas_{mode}"] = timed_loop(
+                lambda i, c, s, d, m=mode: pallas_match_features(
+                    s + c * 1e-20, d, k=4, metric="cos", dtype_name=m
+                ),
+                content_k, dict_k, iters=iters, label=f"knn pallas {mode}",
+            )
     if want("energy"):
         results["energy"] = timed_loop(
         lambda i, c, w: estimate_energy(w + c * 1e-20),
@@ -246,9 +272,9 @@ def main():
     # pipeline total counts each stage once: the fused filternet when
     # measured (the serving path), else the XLA fp32 filternet; 'convert'
     # is the whole pipeline and never part of the sum
-    alt = {"filter_xla_bf16", "convert", "source_bf16", "dsp_bf16"} | (
-        {"filter_net"} if "filter_fused" in results else set()
-    )
+    alt = {"filter_xla_bf16", "convert", "source_bf16", "dsp_bf16"} | {
+        k for k in results if "pallas_" in k
+    } | ({"filter_net"} if "filter_fused" in results else set())
     total = sum(v for k, v in results.items() if k not in alt)
     if total > 0:  # --only may select alt-variant stages exclusively
         print(f"{'TOTAL (sum)':24s} {total * 1000:9.3f} ms/iter "

@@ -110,6 +110,89 @@ def main():
                     return jnp.sum(g1) * 1e-9 + jnp.sum(g2) * 1e-9
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
             dt = timed(loop, (fake, fake, wave))
+        elif name == "disc_fwd":
+            # forwards only: disc(real) + disc(fake), no gradients
+            from tinyvc_tpu.models.discriminator import Discriminator
+            from tinyvc_tpu.train.decoder_train import center_crop
+
+            disc = Discriminator(cfg.discriminator)
+            dp0 = gan_state.disc_params
+
+            @jax.jit
+            def loop(n, dp, wave, fake):
+                real_crop = center_crop(wave, cfg.train.disc_crop)
+
+                def body(i, acc):
+                    fc = center_crop(fake + acc * 1e-20, cfg.train.disc_crop)
+                    lr, fr = disc.apply(dp, real_crop)
+                    lf, ff = disc.apply(dp, fc)
+                    leaves = jax.tree_util.tree_leaves((lr, lf))
+                    return sum(jnp.sum(x) for x in leaves) * 1e-9
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            dt = timed(loop, (dp0, wave, fake))
+        elif name in ("disc", "disc_bf16"):
+            # the post-join step's discriminator cost: disc(real) +
+            # disc(fake) forwards, G-side cotangent into fake, D-side
+            # grads wrt params (mirrors the manual-vjp composition in
+            # decoder_train.make_train_step)
+            import dataclasses
+
+            from tinyvc_tpu.models.discriminator import Discriminator
+            from tinyvc_tpu.train.decoder_train import center_crop
+            from tinyvc_tpu.train.losses import (
+                discriminator_adversarial_loss,
+                feature_matching_loss,
+                generator_adversarial_loss,
+            )
+
+            dcfg = cfg.discriminator
+            if name == "disc_bf16":
+                dcfg = dataclasses.replace(dcfg, compute_dtype="bfloat16")
+            disc = Discriminator(dcfg)
+            dp0 = gan_state.disc_params
+
+            @jax.jit
+            def loop(n, dp, wave, fake):
+                real_crop = center_crop(wave, cfg.train.disc_crop)
+
+                def body(i, acc):
+                    fc = center_crop(fake + acc * 1e-20,
+                                     cfg.train.disc_crop)
+                    (lr, fr), vjp_r = jax.vjp(
+                        lambda d: disc.apply(d, real_crop), dp
+                    )
+                    (lf, ff), vjp_f = jax.vjp(
+                        lambda d, xx: disc.apply(d, xx), dp, fc
+                    )
+
+                    def g_head(lf_, ff_):
+                        return (
+                            generator_adversarial_loss(lf_)
+                            + feature_matching_loss(fr, ff_)
+                        )
+
+                    g_lf, g_ff = jax.grad(g_head, argnums=(0, 1))(lf, ff)
+                    _, g_fc = vjp_f((g_lf, g_ff))
+                    d_lr, d_lf = jax.grad(
+                        lambda a, b: discriminator_adversarial_loss(a, b),
+                        argnums=(0, 1),
+                    )(lr, lf)
+                    zr = jax.tree_util.tree_map(jnp.zeros_like, fr)
+                    zf = jax.tree_util.tree_map(jnp.zeros_like, ff)
+                    (gr,) = vjp_r((d_lr, zr))
+                    gf, _ = vjp_f((d_lf, zf))
+                    leaves = jax.tree_util.tree_leaves((gr, gf))
+                    return (
+                        jnp.sum(g_fc.astype(jnp.float32)) * 1e-9
+                        + sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+                        * 1e-9
+                    )
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            dt = timed(loop, (dp0, wave, fake))
         else:  # full
             step = decoder_train.make_train_step(cfg, d_join=False)
 

@@ -32,16 +32,12 @@ def test_discriminator_forward_parity(rng):
 
     assert len(ours_logits) == len(ref_logits) == 10
     assert len(ours_feats) == len(ref_feats)
-    # MPD logits: ref [B, c, t, p] NCHW vs ours [B, t, p, c] NHWC
-    for i in range(6):
+    # both are NCHW ([B, c, t, p] / [B, c, bins, frames]) — direct compare
+    for i in range(10):
         ref_l = ref_logits[i].numpy()
-        ours_l = np.transpose(np.asarray(ours_logits[i]), (0, 3, 1, 2))
-        np.testing.assert_allclose(ours_l, ref_l, atol=3e-3, rtol=1e-2)
-    # MRD logits
-    for i in range(6, 10):
-        ref_l = ref_logits[i].numpy()
-        ours_l = np.transpose(np.asarray(ours_logits[i]), (0, 3, 1, 2))
-        np.testing.assert_allclose(ours_l, ref_l, atol=3e-3, rtol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(ours_logits[i]), ref_l, atol=3e-3, rtol=1e-2
+        )
 
 
 def test_lsgan_and_feature_losses(rng):

@@ -70,6 +70,23 @@ def test_serving_profile_mel_parity(rng):
     assert l1_serv < max(3.0 * l1_fp32, 1e-3), (l1_serv, l1_fp32)
     assert l1_serv < 0.03, l1_serv
 
+    # production serving additionally runs the fused bf16 DFT-matmul
+    # spectrogram (auto-engaged on TPU); same mel bound must hold with it
+    import dataclasses
+
+    cfg_spec = serving_config()
+    cfg_spec = dataclasses.replace(
+        cfg_spec, audio=dataclasses.replace(
+            cfg_spec.audio, spectrogram_impl="pallas"
+        )
+    )
+    out_spec = _run(cfg_spec, ref_enc, ref_dec, wave, tgt, angle)
+    l1_spec = np.abs(
+        np.asarray(log_mel_spectrogram(jnp.asarray(out_spec))) - mel_ref
+    ).mean()
+    assert l1_spec < max(3.0 * l1_fp32, 1e-3), (l1_spec, l1_fp32)
+    assert l1_spec < 0.03, l1_spec
+
 
 def test_fused_filter_serving_mel_parity(rng):
     """The fused Pallas U-Net serving path (interpret mode on CPU) must hold

@@ -110,3 +110,108 @@ def test_oscillator_bank_carry_across_blocks(rng):
         # no jump at block boundaries: error grows smoothly, so the max over
         # the first block is far below the global bound
         assert err[0, : 5 * 480].max() < 5e-3, (P, err[0, : 5 * 480].max())
+
+
+def test_pallas_spectrogram_fp32_exact(rng):
+    """Fused window+DFT-matmul kernel vs the XLA rfft spectrogram:
+    fp32 operands are numerically exact; bf16 within ~3e-3 relative."""
+    from tinyvc_tpu.dsp.stft import spectrogram
+    from tinyvc_tpu.ops.pallas.spectrogram import pallas_spectrogram
+
+    for B, L in [(2, 48000), (1, 13440)]:
+        x = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.3)
+        ref = np.asarray(spectrogram(x))
+        got = np.asarray(
+            pallas_spectrogram(x, interpret=True, dtype_name="float32")
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+        got16 = np.asarray(
+            pallas_spectrogram(x, interpret=True, dtype_name="bfloat16")
+        )
+        rel = np.abs(got16 - ref).max() / np.abs(ref).max()
+        assert rel < 3e-3, rel
+        # bf16x3 (the serving default) must stay inside the measured
+        # kNN-stability budget (1e-4 flips nothing; see kernel docstring)
+        got3 = np.asarray(
+            pallas_spectrogram(x, interpret=True, dtype_name="bf16x3")
+        )
+        rel3 = np.abs(got3 - ref).max() / np.abs(ref).max()
+        assert rel3 < 2e-5, rel3
+
+
+def test_pallas_knn_matches_xla(rng):
+    """Fused VMEM-resident kNN kernel vs ops/retrieval.py: fp32 exact on
+    all metrics + alpha blend; bf16x3 keeps the SELECTION bit-stable (its
+    only deviation is bf16 quantisation of the gathered dictionary rows,
+    bounded far below a neighbour flip's O(1) error)."""
+    from tinyvc_tpu.ops.pallas.knn import pallas_match_features
+    from tinyvc_tpu.ops.retrieval import match_features
+
+    B, T, C, N = 2, 100, 768, 300
+    src = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((N, C)).astype(np.float32))
+    for metric in ("cos", "IP", "L2"):
+        for alpha in (0.0, 0.5):
+            want = np.asarray(
+                match_features(
+                    src, jnp.broadcast_to(ref[None], (B, N, C)),
+                    k=4, alpha=alpha, metric=metric,
+                )
+            )
+            got = np.asarray(
+                pallas_match_features(
+                    src, ref, k=4, alpha=alpha, metric=metric,
+                    interpret=True, dtype_name="float32",
+                )
+            )
+            np.testing.assert_allclose(
+                got, want, atol=5e-4, err_msg=f"{metric}/{alpha}"
+            )
+            got3 = np.asarray(
+                pallas_match_features(
+                    src, ref, k=4, alpha=alpha, metric=metric,
+                    interpret=True, dtype_name="bf16x3",
+                )
+            )
+            # bf16 dictionary-row quantisation only — no neighbour flips
+            assert np.abs(got3 - want).max() < 0.02, (metric, alpha)
+
+
+def test_pallas_noise_matches_istft(rng):
+    """Fused noise kernel vs oscillate_noise given the same explicit
+    angles: exact (fp32). Hash-phase mode: correct scale + determinism."""
+    import math
+
+    from tinyvc_tpu.models.decoder import oscillate_noise
+    from tinyvc_tpu.ops.pallas.noise import pallas_oscillate_noise
+
+    B, F, bins = 2, 100, 961
+    mag = jnp.asarray(
+        np.abs(rng.standard_normal((B, F, bins))).astype(np.float32)
+    )
+    ang = jnp.asarray(
+        rng.uniform(-math.pi, math.pi, (B, F, bins)).astype(np.float32)
+    )
+    want = np.asarray(
+        oscillate_noise(mag, jax.random.PRNGKey(0), 480, 1920, angle=ang)
+    )
+    got = np.asarray(
+        pallas_oscillate_noise(
+            mag, 7, angle=ang, interpret=True, dtype_name="float32"
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    h1 = np.asarray(
+        pallas_oscillate_noise(mag, 7, interpret=True, dtype_name="float32")
+    )
+    h2 = np.asarray(
+        pallas_oscillate_noise(mag, 7, interpret=True, dtype_name="float32")
+    )
+    h3 = np.asarray(
+        pallas_oscillate_noise(mag, 8, interpret=True, dtype_name="float32")
+    )
+    np.testing.assert_array_equal(h1, h2)  # same seed -> same stream
+    assert np.abs(h1 - h3).max() > 1e-3  # different seed -> different noise
+    assert 0.9 < h1.std() / want.std() < 1.1  # same synthesis scale

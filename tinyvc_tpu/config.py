@@ -22,6 +22,11 @@ class AudioConfig:
     n_fft: int = 1920
     hop_size: int = 480  # 20 ms -> 50 frames/s
     energy_frame_size: int = 64
+    # Serving spectrogram implementation: 'xla' (fp32 rfft, exact),
+    # 'pallas' (fused window+DFT-matmul kernel, bf16 MXU, ~2e-3 relative),
+    # or 'auto' = pallas on TPU when the decoder runs the bf16 serving
+    # profile. Training and the strict fp32 profile always use 'xla'.
+    spectrogram_impl: str = "auto"
 
     @property
     def fft_bin(self) -> int:
@@ -104,6 +109,11 @@ class DiscriminatorConfig:
     # result). `mrd_fixed_activation=False` reproduces that behaviour for
     # parity; True applies the activation as clearly intended.
     mrd_fixed_activation: bool = False
+    # Conv compute dtype — the analogue of the reference's `-fp16` autocast
+    # training mode (`train_decoder.py:33,100`; its MRD spectrogram is
+    # autocast-exempt, `discriminator.py:91`, and stays fp32 here too).
+    # Params, weight-norm math and optimizer state remain fp32.
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +126,10 @@ class RetrievalConfig:
     metric: str = "cos"  # 'cos' | 'IP' | 'L2'
     index_size: int = 2048
     index_stride: int = 4
+    # 'auto' = fused VMEM-resident Pallas kernel (ops/pallas/knn.py) when
+    # serving a single VMEM-sized dictionary under the bf16 profile; 'xla'
+    # forces the reference implementation (ops/retrieval.py)
+    impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

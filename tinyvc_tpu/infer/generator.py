@@ -33,20 +33,74 @@ from ..models import Decoder, Encoder
 from ..ops import match_features
 
 
-def encode_fn(
-    encoder: Encoder, enc_params: Dict[str, Any], wave: jnp.ndarray, cfg: TinyVCConfig
-):
-    """wave [B, L] -> (content [B, F, 768], f0 [B, F])."""
-    wave = autopad_waveform(wave, cfg.audio.hop_size)
-    spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
-    return encoder.apply(enc_params, spec, method=encoder.infer)
-
-
 def _on_cpu_backend() -> bool:
     default_dev = getattr(jax.config, "jax_default_device", None)
     return jax.default_backend() in ("cpu", "gpu") or (
         default_dev is not None and default_dev.platform in ("cpu", "gpu")
     )
+
+
+def serving_spectrogram(wave: jnp.ndarray, cfg: TinyVCConfig) -> jnp.ndarray:
+    """The serving path's spectrogram: the fused Pallas DFT-matmul kernel
+    (`ops/pallas/spectrogram.py`, bf16x3 splits — ~3.5e-6 relative, which
+    keeps kNN retrieval bit-stable) under the bf16 profile on TPU; the
+    exact XLA rfft otherwise (``cfg.audio.spectrogram_impl``)."""
+    impl = cfg.audio.spectrogram_impl
+    if impl == "auto":
+        use_pallas = (
+            cfg.decoder.compute_dtype == "bfloat16" and not _on_cpu_backend()
+        )
+    else:
+        use_pallas = impl == "pallas"
+    if use_pallas:
+        from ..ops.pallas.spectrogram import pallas_spectrogram
+
+        return pallas_spectrogram(
+            wave, cfg.audio.n_fft, cfg.audio.hop_size,
+            interpret=_on_cpu_backend(),  # bf16x3 default: kNN-bit-stable
+        )
+    return spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
+
+
+def serving_match_features(
+    content: jnp.ndarray, target: jnp.ndarray, cfg: TinyVCConfig
+) -> jnp.ndarray:
+    """kNN matching with the fused VMEM-resident Pallas kernel
+    (`ops/pallas/knn.py`) when a single 2D dictionary fits VMEM; the XLA
+    path otherwise (3D per-batch dictionaries, very large N, CPU strict)."""
+    use_pallas = (
+        cfg.retrieval.impl != "xla"
+        and target.ndim == 2
+        and target.shape[0] * target.shape[1] * 4 <= 12 * 2**20
+        and cfg.decoder.compute_dtype == "bfloat16"
+    )
+    if use_pallas:
+        from ..ops.pallas.knn import pallas_match_features
+
+        return pallas_match_features(
+            content, target,
+            k=cfg.retrieval.k, alpha=cfg.retrieval.alpha,
+            metric=cfg.retrieval.metric,
+            interpret=_on_cpu_backend(),
+        ).astype(content.dtype)
+    if target.ndim == 2:
+        target = jnp.broadcast_to(
+            target[None], (content.shape[0],) + target.shape
+        )
+    return match_features(
+        content, target,
+        k=cfg.retrieval.k, alpha=cfg.retrieval.alpha,
+        metric=cfg.retrieval.metric,
+    )
+
+
+def encode_fn(
+    encoder: Encoder, enc_params: Dict[str, Any], wave: jnp.ndarray, cfg: TinyVCConfig
+):
+    """wave [B, L] -> (content [B, F, 768], f0 [B, F])."""
+    wave = autopad_waveform(wave, cfg.audio.hop_size)
+    spec = serving_spectrogram(wave, cfg)
+    return encoder.apply(enc_params, spec, method=encoder.infer)
 
 
 def decode_infer(
@@ -86,6 +140,7 @@ def decode_infer(
         method=lambda m, f_, a, k_, key_, na: m.dsp(
             f_, a, k_, key_, noise_angle=na, channels_first=True,
             pack_energy=energy, pack_width=pack_width,
+            fused_noise=na is None,
         ),
     )
     return filternet_fused_apply(
@@ -115,20 +170,10 @@ def convert_fn(
     ``[B, N, C]`` target dictionary. Mirrors `module/infer/generator.py:25-33`.
     """
     wave = autopad_waveform(wave, cfg.audio.hop_size)
-    spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
+    spec = serving_spectrogram(wave, cfg)
     energy = estimate_energy(wave, cfg.audio.energy_frame_size)
     content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
-    if target.ndim == 2:
-        target = jnp.broadcast_to(
-            target[None], (content.shape[0],) + target.shape
-        )
-    matched = match_features(
-        content,
-        target,
-        k=cfg.retrieval.k,
-        alpha=cfg.retrieval.alpha,
-        metric=cfg.retrieval.metric,
-    )
+    matched = serving_match_features(content, target, cfg)
     f0 = shift_frequency(f0, pitch_shift)
     return decode_infer(
         decoder, dec_params, matched, f0, energy, key, cfg,
@@ -156,7 +201,7 @@ def convert_fn_sharded(
     from ..parallel.sharded_knn import sharded_match_features
 
     wave = autopad_waveform(wave, cfg.audio.hop_size)
-    spec = spectrogram(wave, cfg.audio.n_fft, cfg.audio.hop_size)
+    spec = serving_spectrogram(wave, cfg)
     energy = estimate_energy(wave, cfg.audio.energy_frame_size)
     content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
     matched = sharded_match_features(

@@ -361,6 +361,7 @@ class Decoder(nn.Module):
         channels_first: bool = False,
         pack_energy: jnp.ndarray | None = None,
         pack_width: int = 0,
+        fused_noise: bool = False,
     ) -> jnp.ndarray:
         """Additive harmonics x amplitudes, concat filtered noise -> source
         ``[B, L, H+2]`` (``[B, H+2, L]`` with ``channels_first`` — the
@@ -407,9 +408,27 @@ class Decoder(nn.Module):
             harmonics = harmonics * amps_w
             if channels_first:
                 harmonics = jnp.swapaxes(harmonics, 1, 2)
-        noise = oscillate_noise(
-            kernel, key, self.audio.hop_size, self.audio.n_fft, angle=noise_angle
-        )
+        if use_pallas and fused_noise and noise_angle is None:
+            # serving only: pallas_oscillate_noise has no vjp — the
+            # training step (grads wrt the learned noise filter `kernel`)
+            # must keep the XLA branch
+            # fused phase-synthesis + iDFT-matmul + OLA kernel; phases come
+            # from its hash stream (seeded from `key`) instead of
+            # jax.random — explicit-angle (parity) runs keep the XLA path
+            from ..ops.pallas.noise import pallas_oscillate_noise
+
+            seed = jax.random.randint(
+                key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            noise = pallas_oscillate_noise(
+                kernel.astype(jnp.float32), seed,
+                self.audio.hop_size, self.audio.n_fft,
+            )
+        else:
+            noise = oscillate_noise(
+                kernel, key, self.audio.hop_size, self.audio.n_fft,
+                angle=noise_angle,
+            )
         if channels_first:
             parts = [harmonics, noise[:, None, :]]
             if pack_energy is not None:
@@ -433,7 +452,8 @@ class Decoder(nn.Module):
         cf = self.cfg.filter_layout == "cf"
         amps, kernel = self.source_net(content, f0, energy)
         source = self.dsp(
-            f0, amps, kernel, key, noise_angle=noise_angle, channels_first=cf
+            f0, amps, kernel, key, noise_angle=noise_angle, channels_first=cf,
+            fused_noise=noise_angle is None,
         )
         return self.filter_net(
             content, f0, energy, source, source_channels_first=cf
