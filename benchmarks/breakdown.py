@@ -182,9 +182,12 @@ def main():
         results["dsp"] = timed_loop(
         lambda i, c, f, a, k_, p: decoder.apply(
             p, f, a + c * 1e-20, k_, jax.random.fold_in(key, i),
-            method=lambda m, f_, a_, kk, key_: m.dsp(f_, a_, kk, key_),
+            method=lambda m, f_, a_, kk, key_: m.dsp(
+                f_, a_, kk, key_, fused_noise=True
+            ),
         )[:, :, 0],
-        f0, amps, kern, dec_p, iters=iters, label="dsp (osc+noise)",
+        f0, amps, kern, dec_p, iters=iters,
+        label="dsp (osc+noise kernels)",
     )
     if want("source_bf16") or want("dsp_bf16"):
         # serving-dtype variants: the serving residual decomposes against

@@ -277,33 +277,22 @@ def make_train_step(
         # ---- post-join: manual vjp composition so each discriminator
         # forward runs ONCE (the naive two-phase structure runs
         # disc(real) and disc(fake) twice each — XLA does not CSE across
-        # the two grad contexts; ~3 ms/step of MRD/MPD forwards). The
-        # real and fake crops go through as ONE batch-2B call: the MPD/MRD
-        # conv shapes are small (H down to 3 rows); halving the op count
-        # and doubling M is where their time goes. ----
+        # the two grad contexts; ~3 ms/step of MRD/MPD forwards) ----
         B, L = wave.shape
         crop_len = cfg.train.disc_crop
         c0 = L // 2 - crop_len // 2
         real_crop = jax.lax.dynamic_slice(wave, (0, c0), (B, crop_len))
+        (logits_real, feats_real), vjp_real = jax.vjp(
+            lambda dp: disc.apply(dp, real_crop), state.disc_params
+        )
 
         (fake, dsp_out), vjp_gen = jax.vjp(
             lambda gp: forward_fake(gp, enc_params, wave, k_noise),
             state.gen_params,
         )
         fake_crop = jax.lax.dynamic_slice(fake, (0, c0), (B, crop_len))
-
-        def disc_both(dp, fc):
-            logits, feats = disc.apply(
-                dp, jnp.concatenate([real_crop, fc], axis=0)
-            )
-            lr = [l[:B] for l in logits]
-            lf = [l[B:] for l in logits]
-            fr = [f[:B] for f in feats]
-            ff = [f[B:] for f in feats]
-            return lr, fr, lf, ff
-
-        (logits_real, feats_real, logits_fake, feats_fake), vjp_disc = (
-            jax.vjp(disc_both, state.disc_params, fake_crop)
+        (logits_fake, feats_fake), vjp_fake = jax.vjp(
+            lambda dp, xx: disc.apply(dp, xx), state.disc_params, fake_crop
         )
 
         # generator head: losses as a function of (fake, dsp_out,
@@ -332,9 +321,7 @@ def make_train_step(
         g_fake, g_dsp, g_lf, g_ff = head_grads
         # adv/FM gradient flows into fake through the discriminator; its
         # disc-params component is discarded (the G step never updates D)
-        zeros_lr = jax.tree_util.tree_map(jnp.zeros_like, logits_real)
-        zeros_fr = jax.tree_util.tree_map(jnp.zeros_like, feats_real)
-        _, g_fake_crop = vjp_disc((zeros_lr, zeros_fr, g_lf, g_ff))
+        _, g_fake_crop = vjp_fake((g_lf, g_ff))
         g_fake = g_fake + jax.lax.pad(
             g_fake_crop, jnp.zeros((), g_fake.dtype),
             ((0, 0, 0), (c0, L - c0 - crop_len, 0)),
@@ -344,16 +331,20 @@ def make_train_step(
         gen_params = optax.apply_updates(state.gen_params, g_updates)
         metrics["loss_g"] = loss_g
 
-        # discriminator phase: reuse the primal forward's residuals; the
-        # fake-crop cotangent output is discarded (stop-gradient semantics)
+        # discriminator phase: reuse both primal forwards' residuals
         def d_head(lr, lf):
             return discriminator_adversarial_loss(lr, lf)
 
         loss_d, (d_lr, d_lf) = jax.value_and_grad(d_head, argnums=(0, 1))(
             logits_real, logits_fake
         )
+        zeros_fr = jax.tree_util.tree_map(jnp.zeros_like, feats_real)
         zeros_ff = jax.tree_util.tree_map(jnp.zeros_like, feats_fake)
-        d_grads, _ = vjp_disc((d_lr, zeros_fr, d_lf, zeros_ff))
+        (d_grads_real,) = vjp_real((d_lr, zeros_fr))
+        d_grads_fake, _ = vjp_fake((d_lf, zeros_ff))
+        d_grads = jax.tree_util.tree_map(
+            jnp.add, d_grads_real, d_grads_fake
+        )
         d_updates, disc_opt = dtx.update(
             d_grads, state.disc_opt, state.disc_params
         )
