@@ -5,7 +5,12 @@ encoder distillation step at the reference's batch 16 / 2 s chunks
 (`/root/reference/train_decoder.py:87-168`, `train_encoder.py:69-118`),
 with the trusted two-loop-length differencing + float() fetch method.
 
-Usage: python benchmarks/train_bench.py [gan-pre gan-post enc]
+Usage: python benchmarks/train_bench.py [gan-pre gan-post gan-post-bf16d enc]
+
+``gan-post-bf16d`` measures the post-join step with the discriminators in
+bf16 compute (params and weight-norm stay fp32) — the analogue of the
+reference's optional `-fp16` AMP (`train_decoder.py:80,100`); gradient
+fidelity vs fp32 is bounded by tests/test_mixed_precision.py.
 """
 
 from __future__ import annotations
@@ -61,7 +66,19 @@ def main():
 
     for name in which:
         if name.startswith("gan"):
-            step = decoder_train.make_train_step(cfg, d_join=name == "gan-post")
+            scfg = cfg
+            if name.endswith("-bf16d"):
+                import dataclasses
+
+                scfg = dataclasses.replace(
+                    cfg,
+                    discriminator=dataclasses.replace(
+                        cfg.discriminator, compute_dtype="bfloat16"
+                    ),
+                )
+            step = decoder_train.make_train_step(
+                scfg, d_join=name.startswith("gan-post")
+            )
 
             def make_loop(step=step):
                 @jax.jit

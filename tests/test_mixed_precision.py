@@ -88,6 +88,54 @@ def test_serving_profile_mel_parity(rng):
     assert l1_spec < 0.03, l1_spec
 
 
+def test_bf16_discriminator_gradient_fidelity(rng):
+    """bf16 discriminator compute (the reference's `-fp16` AMP analogue,
+    `train_decoder.py:80,100`; benchmarks/train_bench.py gan-post-bf16d)
+    must produce gradients aligned with the fp32 ones — both the
+    discriminator-parameter grads (D step) and the grad w.r.t. the fake
+    waveform (the adversarial signal into G)."""
+    import dataclasses
+
+    from tinyvc_tpu.config import DiscriminatorConfig
+    from tinyvc_tpu.models.discriminator import Discriminator
+    from tinyvc_tpu.train.losses import (
+        discriminator_adversarial_loss,
+        generator_adversarial_loss,
+    )
+
+    B, L = 2, 8000
+    real = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
+    fake = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
+
+    def grads(dtype):
+        disc = Discriminator(
+            dataclasses.replace(DiscriminatorConfig(), compute_dtype=dtype)
+        )
+        params = disc.init(jax.random.PRNGKey(0), real)
+
+        def d_loss(p):
+            lr, _ = disc.apply(p, real)
+            lf, _ = disc.apply(p, fake)
+            return discriminator_adversarial_loss(lr, lf)
+
+        def g_adv(x):
+            lf, _ = disc.apply(params, x)
+            return generator_adversarial_loss(lf)
+
+        return jax.grad(d_loss)(params), jax.grad(g_adv)(fake)
+
+    (d32, g32), (d16, g16) = grads("float32"), grads("bfloat16")
+
+    def cos(a, b):
+        a = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(a)])
+        b = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(b)])
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+
+    assert np.all(np.isfinite(np.asarray(g16)))
+    assert cos(d32, d16) > 0.99, cos(d32, d16)
+    assert cos(g32, g16) > 0.98, cos(g32, g16)
+
+
 def test_fused_filter_serving_mel_parity(rng):
     """The fused Pallas U-Net serving path (interpret mode on CPU) must hold
     the same mel-parity bound vs the PyTorch reference — including its

@@ -46,9 +46,18 @@ def serving_spectrogram(wave: jnp.ndarray, cfg: TinyVCConfig) -> jnp.ndarray:
     keeps kNN retrieval bit-stable) under the bf16 profile on TPU; the
     exact XLA rfft otherwise (``cfg.audio.spectrogram_impl``)."""
     impl = cfg.audio.spectrogram_impl
+    B = wave.shape[0]
+    F = wave.shape[1] // cfg.audio.hop_size
     if impl == "auto":
+        # Small workloads (streaming blocks, single-utterance encode) run
+        # faster on the XLA rfft: the kernel's 128-frame tiles and DFT
+        # weight loads don't amortise below ~2k total frames (measured:
+        # config1 B=1 x 500 frames lost 18% to the kernel; the 28-frame
+        # stream buffer also scope-VMEM-OOMed inside the while-loop body).
         use_pallas = (
-            cfg.decoder.compute_dtype == "bfloat16" and not _on_cpu_backend()
+            cfg.decoder.compute_dtype == "bfloat16"
+            and not _on_cpu_backend()
+            and B * F >= 2048
         )
     else:
         use_pallas = impl == "pallas"

@@ -9,8 +9,11 @@ block rows it covers, builds the 4-shifted-view frame matrix in VMEM,
 applies the hann window in fp32, and multiplies against the packed
 (cos | -sin) DFT matrix on the MXU, emitting fp32 magnitudes. HBM
 traffic = wave once in + spectrum once out. The DFT matrix is split into
-two bin halves so each weight block fits VMEM; the halves ride the
-slowest grid axis (loaded twice total, not per step).
+bin blocks of <= 2 MB so the double-buffered (hi, lo) weight pair stays
+well under the 16 MB scoped-VMEM budget (which is shared with the
+enclosing computation when the kernel runs inside a while-loop body);
+the splits ride the slowest grid axis (each loaded once per batch pass,
+not per step).
 
 Precision modes (``dtype_name``):
 
@@ -36,25 +39,29 @@ from ...dsp.stft import hann_window
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_halves(n_fft: int, half: int, ratio: int) -> np.ndarray:
-    """``[2, ratio, hop, 2*half]`` — bin-half h packs (cos | -sin) for
-    output bins [h*half, (h+1)*half), zero-padded past n_fft//2+1, with
+def _dft_splits(n_fft: int, part: int, ns: int, ratio: int) -> np.ndarray:
+    """``[ns, ratio, hop, 2*part]`` — bin-split h packs (cos | -sin) for
+    output bins [h*part, (h+1)*part), zero-padded past n_fft//2+1, with
     the n axis pre-split into the ratio hop-sized sub-blocks the kernel
-    multiplies separately."""
+    multiplies separately. ns splits keep each VMEM weight block small:
+    two splits double-buffered OOMed the 16 MB scoped-vmem budget when
+    the kernel ran inside a while-loop body (stream step)."""
     bins = n_fft // 2 + 1
     hop = n_fft // ratio
     hop_pad = -(-hop // 128) * 128  # lane-aligned rows (DMA window rule)
     n = np.arange(n_fft, dtype=np.float64)[:, None]
-    w = np.zeros((2, n_fft, 2 * half), np.float32)
-    for h in range(2):
-        k0 = h * half
-        nk = min(half, bins - k0)
+    w = np.zeros((ns, n_fft, 2 * part), np.float32)
+    for h in range(ns):
+        k0 = h * part
+        nk = min(part, bins - k0)
+        if nk <= 0:
+            continue
         k = np.arange(k0, k0 + nk, dtype=np.float64)[None, :]
         ang = 2.0 * np.pi * n * k / n_fft
         w[h, :, :nk] = np.cos(ang)
-        w[h, :, half : half + nk] = -np.sin(ang)
-    w = w.reshape(2, ratio, hop, 2 * half)
-    out = np.zeros((2, ratio, hop_pad, 2 * half), np.float32)
+        w[h, :, part : part + nk] = -np.sin(ang)
+    w = w.reshape(ns, ratio, hop, 2 * part)
+    out = np.zeros((ns, ratio, hop_pad, 2 * part), np.float32)
     out[:, :, :hop] = w
     return out
 
@@ -138,9 +145,9 @@ def _spec_kernel(
                 fl, wh_ref[0, r], preferred_element_type=jnp.float32
             )
         y = p if y is None else y + p
-    half = y.shape[1] // 2
-    re = y[:, :half]
-    im = y[:, half:]
+    part = y.shape[1] // 2
+    re = y[:, :part]
+    im = y[:, part:]
     out_ref[0, 0] = jnp.sqrt(re * re + im * im)
 
 
@@ -170,8 +177,18 @@ def pallas_spectrogram(
     F = L // hop
     assert F * hop == L, "length must be a hop multiple (auto-padded upstream)"
     bins = n_fft // 2 + 1
-    half = -(-bins // 2)
-    half = -(-half // 128) * 128  # lane-aligned half width
+    hop_pad128 = -(-hop // 128) * 128
+    itemsize = 4 if dtype_name == "float32" else 2
+    # bin-split count: each [ratio, hop_pad, 2*part] weight block <= 2 MB so
+    # the double-buffered (wh, wl) pair stays ~8 MB of scoped VMEM (16 MB
+    # budget, shared with scratch/out even inside while-loop bodies)
+    def _part(ns):  # lane-aligned split width for ns bin-splits
+        return -(-(-(-bins // ns)) // 128) * 128
+
+    ns = 2
+    while ratio * hop_pad128 * 2 * _part(ns) * itemsize > 2 * 2**20 and ns < bins:
+        ns *= 2
+    part = _part(ns)
 
     t_frames = _pick_tile(F)
     nt = -(-F // t_frames)
@@ -195,7 +212,7 @@ def pallas_spectrogram(
     if hop_pad != hop:
         blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, hop_pad - hop)))
 
-    w = _dft_halves(n_fft, half, ratio)
+    w = _dft_splits(n_fft, part, ns, ratio)
     if dtype_name == "float32":
         wh = jnp.asarray(w)
         wl = wh  # unused alias (same spec keeps the call signature fixed)
@@ -222,7 +239,7 @@ def pallas_spectrogram(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(2, B, nt),
+        grid=(ns, B, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             wspec,
@@ -233,11 +250,11 @@ def pallas_spectrogram(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, t_frames, half), lambda h, b, i: (h, b, i, 0),
+            (1, 1, t_frames, part), lambda h, b, i: (h, b, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (2, B, nt * t_frames, half), jnp.float32
+            (ns, B, nt * t_frames, part), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((2, rows, hop_pad), jnp.float32),
@@ -245,5 +262,5 @@ def pallas_spectrogram(
         ],
         interpret=interpret,
     )(blocks, wh, wl, win)
-    out = jnp.concatenate([out[0], out[1]], axis=-1)[:, :F, :bins]
+    out = jnp.concatenate([out[h] for h in range(ns)], axis=-1)[:, :F, :bins]
     return out
