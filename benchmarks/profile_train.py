@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 60.0)
+
 sys.path.insert(0, ".")
 
 from tinyvc_tpu.config import TinyVCConfig
@@ -87,6 +90,44 @@ def main():
     for name, d in dur.most_common(50):
         op = meta.get(name, "?")
         print(f"{d / 5000:8.3f} ms  x{cnt[name]:3d}  {name[:28]:28s} {op[:95]}")
+
+    # subsystem aggregation over ALL ops (meta-joined), to see where a
+    # flat profile's time goes
+    def bucket(s):
+        if "Discriminator" in s:
+            sub = "mpd" if "mpd_" in s else ("mrd" if "mrd_" in s else "disc")
+            return f"{sub}_bwd" if "transpose" in s else f"{sub}_fwd"
+        if any(k in s for k in (
+            "fused_upsample", "fused_downsample", "fused_conv3",
+            "pallas_upsample", "filter_net", "film",
+        )):
+            return "unet_bwd" if ("transpose" in s or "_bwd" in s) else "unet_fwd"
+        if "oscillator" in s or "Decoder.dsp" in s or "istft" in s:
+            return "dsp"
+        if "fft" in s or "stft" in s or "mel" in s:
+            return "stft_losses"
+        if any(k in s for k in ("adam", "clip", "global_norm", "apply_updates")):
+            return "optimizer"
+        if any(k in s for k in (
+            "source_net", "Encoder", "match", "top_k", "knn", "spectrogram",
+            "energy",
+        )):
+            return "frontend"
+        return "other"
+
+    agg = collections.Counter()
+    other = collections.Counter()
+    for name, d in dur.items():
+        b = bucket(meta.get(name, "") + " " + name)
+        agg[b] += d
+        if b == "other":
+            other[name] += d
+    print("\nby subsystem:")
+    for b, d in agg.most_common():
+        print(f"{d / 5000:8.2f} ms  {b}")
+    print("\nlargest 'other' ops:")
+    for name, d in other.most_common(15):
+        print(f"{d / 5000:8.3f} ms  {name[:28]:28s} {meta.get(name, '?')[:90]}")
 
 
 if __name__ == "__main__":

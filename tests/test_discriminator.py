@@ -84,3 +84,20 @@ def test_multi_scale_stft_loss_parity(rng):
     ref = ref / len(scales)
     ours = multi_scale_stft_loss(jnp.asarray(x), jnp.asarray(y))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-3)
+
+    # the TPU training path's windowed-DFT-matmul magnitude: exact in fp32,
+    # within ~1% in its production bf16 mode
+    exact = multi_scale_stft_loss(jnp.asarray(x), jnp.asarray(y), impl="rfft")
+    from tinyvc_tpu.dsp.stft import stft_magnitude_matmul
+
+    loss_mm = 0.0
+    for s in scales:
+        xs = stft_magnitude_matmul(jnp.asarray(x), s * 4, s, dtype=jnp.float32)
+        ys = stft_magnitude_matmul(jnp.asarray(y), s * 4, s, dtype=jnp.float32)
+        loss_mm += float(
+            ((xs - ys) ** 2).mean()
+            + abs(jnp.log(xs + 1e-6) - jnp.log(ys + 1e-6)).mean()
+        )
+    np.testing.assert_allclose(loss_mm / len(scales), float(exact), rtol=1e-4)
+    bf16 = multi_scale_stft_loss(jnp.asarray(x), jnp.asarray(y), impl="matmul")
+    np.testing.assert_allclose(float(bf16), float(exact), rtol=2e-2)

@@ -76,6 +76,47 @@ def stft_magnitude(
     return jnp.abs(stft(x, n_fft, hop, drop_first=drop_first))
 
 
+@functools.lru_cache(maxsize=None)
+def _windowed_dft(n_fft: int) -> np.ndarray:
+    """``[n_fft, 2*bins]`` (cos | -sin) real-DFT matrix with the hann
+    window folded in: ``|rfft(w * f)| == mag(f @ D)``."""
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    d = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
+    return (hann_window(n_fft)[:, None].astype(np.float64) * d).astype(
+        np.float32
+    )
+
+
+def stft_magnitude_matmul(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    drop_first: bool = False,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Magnitude STFT as frames @ windowed-DFT matrix (fp32 accumulation).
+
+    On TPU this lands on the MXU and differentiates into two more matmuls,
+    where ``jnp.fft.rfft`` + its transpose dominated the GAN step's loss
+    time (multi-scale loss: 7.2 of 46 ms, profiled). bf16 operands cost
+    ~3 decimal digits on a GAN training loss; parity tests use the exact
+    rfft path."""
+    frames = _frame(x.astype(jnp.float32), n_fft, hop, drop_first)
+    d = jnp.asarray(_windowed_dft(n_fft))
+    y = jnp.einsum(
+        "bfn,nk->bfk",
+        frames.astype(dtype),
+        d.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    bins = n_fft // 2 + 1
+    re, im = y[..., :bins], y[..., bins:]
+    return jnp.sqrt(re * re + im * im)
+
+
 def spectrogram(x: jnp.ndarray, n_fft: int = 1920, hop: int = 480) -> jnp.ndarray:
     """Magnitude spectrogram with the reference's dropped-frame-0 convention.
 

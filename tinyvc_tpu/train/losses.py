@@ -11,10 +11,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..dsp.mel import mel_spectrogram
-from ..dsp.stft import stft_magnitude
+from ..dsp.stft import stft_magnitude, stft_magnitude_matmul
 
 
 def _safe_log(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -25,15 +26,24 @@ def multi_scale_stft_loss(
     x: jnp.ndarray,
     y: jnp.ndarray,
     scales: Sequence[int] = (16, 32, 64, 128, 256, 512),
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """L2 on magnitude + L1 on log magnitude, averaged over scales
-    (reference `loss.py:11-38`; hop = s, n_fft = 4 s, frame 0 kept)."""
+    (reference `loss.py:11-38`; hop = s, n_fft = 4 s, frame 0 kept).
+
+    ``impl='auto'`` uses the bf16 windowed-DFT-matmul magnitude on TPU
+    (MXU; rfft + its transpose dominated the loss's step time) and the
+    exact fp32 rfft elsewhere — parity tests run on CPU and stay exact.
+    """
+    if impl == "auto":
+        impl = "rfft" if jax.default_backend() in ("cpu", "gpu") else "matmul"
+    mag = stft_magnitude if impl == "rfft" else stft_magnitude_matmul
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     loss = 0.0
     for s in scales:
-        xs = jnp.nan_to_num(stft_magnitude(x, s * 4, s))
-        ys = jnp.nan_to_num(stft_magnitude(y, s * 4, s))
+        xs = jnp.nan_to_num(mag(x, s * 4, s))
+        ys = jnp.nan_to_num(mag(y, s * 4, s))
         loss += jnp.mean((xs - ys) ** 2) + jnp.mean(
             jnp.abs(_safe_log(xs) - _safe_log(ys))
         )
