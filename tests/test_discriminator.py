@@ -39,6 +39,17 @@ def test_discriminator_forward_parity(rng):
             np.asarray(ours_logits[i]), ref_l, atol=3e-3, rtol=1e-2
         )
 
+    # the kept-as-option MRD 'unfold' lowering must stay exact too
+    import dataclasses
+
+    unf_logits, unf_feats = Discriminator(
+        dataclasses.replace(DiscriminatorConfig(), mrd_conv_impl="unfold")
+    ).apply(params, jnp.asarray(x))
+    for a, b in zip(unf_logits, ours_logits):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(unf_feats, ours_feats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
 
 def test_lsgan_and_feature_losses(rng):
     # oracle: the inlined loss code in train_decoder.py:113-149

@@ -114,6 +114,10 @@ class DiscriminatorConfig:
     # autocast-exempt, `discriminator.py:91`, and stays fp32 here too).
     # Params, weight-norm math and optimizer state remain fp32.
     compute_dtype: str = "float32"
+    # MRD conv lowering: 'lax' (NCHW conv_general_dilated — measured fastest
+    # end-to-end) or 'unfold' (windows->matmul; see models/discriminator.py
+    # WNConv2d for the three measured-slower layout variants).
+    mrd_conv_impl: str = "lax"
 
 
 @dataclasses.dataclass(frozen=True)

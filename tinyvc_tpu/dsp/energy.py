@@ -43,9 +43,16 @@ def estimate_energy(wave: jnp.ndarray, frame_size: int = 64) -> jnp.ndarray:
         on_cpu = jax.default_backend() in ("cpu", "gpu") or (
             default_dev is not None and default_dev.platform in ("cpu", "gpu")
         )
-        if not on_cpu and f % 2 == 0 and wave.shape[0] % 8 == 0:
+        if not on_cpu and f % 2 == 0:
             from ..ops.pallas.resample import pallas_upsample_t
 
-            return pallas_upsample_t(pooled[None, :, :], f)[0, :, :L]
+            # batch rides the kernel's channel axis; pad it to the sublane
+            # multiple of 8 (the XLA lhs-dilated fallback at B=1 fused into
+            # a single ~82 MB/s slice op: 17.4 of the 29.8 ms longform
+            # convert, profiled)
+            B = pooled.shape[0]
+            rpad = (-B) % 8
+            p8 = jnp.pad(pooled, ((0, rpad), (0, 0))) if rpad else pooled
+            return pallas_upsample_t(p8[None, :, :], f)[0, :B, :L]
         return upsample_time_int_t(pooled[None, :, :], f)[0]
     return linear_interp_last(pooled, L)

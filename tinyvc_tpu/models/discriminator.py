@@ -269,6 +269,7 @@ class Discriminator(nn.Module):
                 num_layers=self.cfg.num_layers,
                 fixed_activation=self.cfg.mrd_fixed_activation,
                 compute_dtype=self.cfg.compute_dtype,
+                conv_impl=self.cfg.mrd_conv_impl,
                 name=f"mrd_{r}",
             )(x)
             logits.append(logit)
