@@ -89,6 +89,21 @@ def test_sola_correlation_matches_torch_conv(rng):
     np.testing.assert_allclose(np.asarray(nom), cor_nom[0, 0].numpy(), atol=1e-3)
     assert int(jnp.argmax(nom / den)) == ref_shift
 
+    # the production stream step computes the correlation by FFT (the
+    # Hankel windows-gather ran at ~600 MB/s on TPU; a 1920-tap conv blows
+    # up the AOT compiler) — verify FFT == direct at production sizes
+    cf, search = 1920, 1920
+    conv_input = rng.standard_normal(cf + search).astype(np.float32)
+    sola_buf = rng.standard_normal(cf).astype(np.float32)
+    idx = np.arange(search + 1)[:, None] + np.arange(cf)[None, :]
+    direct = conv_input[idx] @ sola_buf
+    nfft = 4096
+    fx = jnp.fft.rfft(jnp.asarray(conv_input), n=nfft)
+    fb = jnp.fft.rfft(jnp.asarray(sola_buf), n=nfft)
+    fft_cor = np.asarray(jnp.fft.irfft(fx * jnp.conj(fb), n=nfft)[: search + 1])
+    np.testing.assert_allclose(fft_cor, direct, atol=2e-3)
+    assert int(np.argmax(fft_cor)) == int(np.argmax(direct))
+
 
 def test_stream_converter_runs_and_is_continuous(rng):
     """Identity-ish smoke: random small models; consecutive blocks produced

@@ -129,22 +129,23 @@ def make_stream_step(
             )[0]
 
         # SOLA alignment (reference `stream.py:75-80`). The normalised
-        # cross-correlation is a windows-matrix matvec + cumsum sliding sum
-        # rather than jnp.correlate: a 1920-tap conv makes the TPU compiler
-        # itself blow up (the AOT helper OOMs on the tiny program), while
-        # gather + [search+1, crossfade] @ [crossfade] is MXU-friendly and
-        # compiles in seconds.
+        # cross-correlation is an FFT correlation + cumsum sliding sum:
+        # a 1920-tap jnp.correlate conv makes the TPU compiler itself blow
+        # up (the AOT helper OOMs on the tiny program), and the Hankel
+        # windows-gather + matvec it replaced ran the gather at ~600 MB/s —
+        # 24.5 of the 24.8 ms stream step (profiled). The 4096-point rfft
+        # pair costs ~0.05 ms and is exact to ~1e-6 relative.
         total = block + crossfade + search
         temp = jax.lax.dynamic_slice(
             y, (y.shape[0] - total - delay,), (total,)
         )
         conv_input = temp[: crossfade + search]
-        idx = jnp.arange(search + 1)[:, None] + jnp.arange(crossfade)[None, :]
-        windows = conv_input[idx]  # [search+1, crossfade]
-        cor_nom = jnp.dot(
-            windows, state.sola_buffer,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        nfft = 1
+        while nfft < crossfade + search:
+            nfft *= 2
+        fx = jnp.fft.rfft(conv_input.astype(jnp.float32), n=nfft)
+        fb = jnp.fft.rfft(state.sola_buffer.astype(jnp.float32), n=nfft)
+        cor_nom = jnp.fft.irfft(fx * jnp.conj(fb), n=nfft)[: search + 1]
         sq = jnp.concatenate(
             [jnp.zeros((1,), jnp.float32), jnp.cumsum(conv_input * conv_input)]
         )
