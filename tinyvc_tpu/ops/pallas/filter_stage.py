@@ -994,8 +994,20 @@ def _spill_add(g_core, gl, gr, T):
     gl4 = gl.reshape(B, C, nt, HALO)
     gr4 = gr.reshape(B, C, nt, HALO)
     if nt > 1:
-        g4 = g4.at[:, :, :-1, t_blk - HALO :].add(gl4[:, :, 1:])
-        g4 = g4.at[:, :, 1:, :HALO].add(gr4[:, :, :-1])
+        # zero-pad + add instead of .at[].add: XLA fuses the pads into ONE
+        # read-add-write pass, while each DUS is a full-tensor copy
+        # (~0.25 ms apiece at training shapes, profiled)
+        g4 = (
+            g4
+            + jnp.pad(
+                gl4[:, :, 1:],
+                ((0, 0), (0, 0), (0, 1), (t_blk - HALO, 0)),
+            )
+            + jnp.pad(
+                gr4[:, :, :-1],
+                ((0, 0), (0, 0), (1, 0), (0, t_blk - HALO)),
+            )
+        )
     g = g4.reshape(B, C, Ta)
     # sequence edges: fold the outer bands (and any alignment overhang)
     g = g.at[:, :, 0].add(jnp.sum(gl4[:, :, 0], axis=-1))
