@@ -107,6 +107,8 @@ def main():
     results = {}
 
     def log(name, value, unit):
+        if "--fp32" in sys.argv:  # strict-profile rows get their own keys
+            name = "fp32_" + name
         results[name] = {"value": round(value, 2), "unit": unit}
         print(f"[bench] {name}: {value:.2f} {unit}", file=sys.stderr, flush=True)
         if run_all:  # persist incrementally: one failed config loses nothing

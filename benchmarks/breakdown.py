@@ -179,15 +179,17 @@ def main():
         content, f0, energy, dec_p, iters=iters, label="source_net",
     )
     if want("dsp"):
+        # channels_first=True measures the production serving layout (the
+        # fused U-Net consumes the packed channels-first source directly)
         results["dsp"] = timed_loop(
         lambda i, c, f, a, k_, p: decoder.apply(
             p, f, a + c * 1e-20, k_, jax.random.fold_in(key, i),
             method=lambda m, f_, a_, kk, key_: m.dsp(
-                f_, a_, kk, key_, fused_noise=True
+                f_, a_, kk, key_, fused_noise=True, channels_first=True
             ),
-        )[:, :, 0],
+        )[:, 0, :],
         f0, amps, kern, dec_p, iters=iters,
-        label="dsp (osc+noise kernels)",
+        label="dsp (osc+noise kernels, channels-first)",
     )
     if want("source_bf16") or want("dsp_bf16"):
         # serving-dtype variants: the serving residual decomposes against
