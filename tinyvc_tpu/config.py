@@ -114,9 +114,12 @@ class DiscriminatorConfig:
     # autocast-exempt, `discriminator.py:91`, and stays fp32 here too).
     # Params, weight-norm math and optimizer state remain fp32.
     compute_dtype: str = "float32"
-    # MRD conv lowering: 'lax' (NCHW conv_general_dilated — measured fastest
-    # end-to-end) or 'unfold' (windows->matmul; see models/discriminator.py
-    # WNConv2d for the three measured-slower layout variants).
+    # MRD conv lowering: 'lax' (all-NCHW conv_general_dilated), 'hybrid'
+    # (NCHW for the two small-channel stem convs, NHWC for the deep
+    # 128/256-channel layers — channels ride the lane axis at full tile
+    # density; numerically identical, layout is internal) or 'unfold'
+    # (windows->matmul; see models/discriminator.py WNConv2d for the three
+    # measured-slower layout variants).
     mrd_conv_impl: str = "lax"
 
 

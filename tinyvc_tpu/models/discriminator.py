@@ -44,9 +44,16 @@ class WNConv2d(nn.Module):
       lax convs — because XLA's backward materialises relayout copies for
       each window-construction transpose (58 ms of MRD bwd, profiled);
       a direct strided H slice additionally lowers to gathers/scatters.
-      The lax NCHW MRD runs at ~2% MXU utilisation (14.7 ms of the GAN
-      step) and bf16 compute barely moves it, so beating it needs a fused
-      Pallas chain (VMEM-resident fwd + custom_vjp), not an XLA relayout.
+    - ``impl='nhwc'``: ``conv_general_dilated`` on ``[B, H, W, C]`` with
+      HWIO weights. For the MRD's DEEP layers (C in 128/256, spatial dims
+      H in 3..17, W in 31..250 on the 8000-sample training crop) the NCHW
+      form tiles (H, W) as (sublane, lane) at 10-25 % density (H pads
+      8..3x, W pads up to 4x at resolution 256); NHWC instead puts W on
+      sublanes (~1x pad) and C on lanes (1x at 128/256), so the dominant
+      matmuls run near full tile density. The EARLY layers (C 1/32) are
+      the mirror image — C on lanes pads 4-128x — so `DiscriminatorR`
+      uses ``conv_impl='hybrid'``: NCHW for conv_0/conv_1, one transpose,
+      NHWC for conv_2..post (the ~75 %-of-FLOPs layers).
     """
 
     features: int
@@ -60,7 +67,8 @@ class WNConv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
-        cin = x.shape[2] if self.impl == "unfold" else x.shape[1]
+        cin = {"unfold": 2, "nhwc": 3}.get(self.impl, 1)
+        cin = x.shape[cin]
         # torch init: conv weight kaiming_uniform(a=sqrt(5)); weight_norm
         # then reparametrises the SAME tensor as v=w, g=||w|| per output
         # channel (`/root/reference/module/tinyvc/discriminator.py:14,80`),
@@ -88,6 +96,26 @@ class WNConv2d(nn.Module):
         if self.impl == "unfold":
             wn = v / norm * g  # [kh, kw, cin, cout]
             return self._unfold(x, wn, bias, dt)
+        if self.impl == "nhwc":
+            wn = v / norm * g  # already HWIO
+            if dt != jnp.float32:
+                x, wn, bias = x.astype(dt), wn.astype(dt), bias.astype(dt)
+            ph, pw = self.padding
+            if self.pad_mode == "replicate" and (ph or pw):
+                x = jnp.pad(
+                    x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="edge"
+                )
+                padding = "VALID"
+            else:
+                padding = [(ph, ph), (pw, pw)]
+            y = jax.lax.conv_general_dilated(
+                x,
+                wn,
+                window_strides=self.strides,
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias[None, None, None, :]
         w = (v / norm * g).transpose(3, 2, 0, 1)  # [cout, cin, kh, kw]
         if dt != jnp.float32:
             x, w, bias = x.astype(dt), w.astype(dt), bias.astype(dt)
@@ -211,7 +239,18 @@ class DiscriminatorR(nn.Module):
         # the strided conv axis H. The 'unfold' chain runs [B, H, C, W]
         # (taps on sublanes, frames on lanes) with fmaps emitted in torch
         # NCHW via output-only transposes; 'lax' runs NCHW directly.
+        # 'hybrid' runs conv_0/conv_1 in NCHW (C is 1/32: lane-hostile),
+        # transposes ONCE, and runs conv_2..post — ~75 % of the MRD's
+        # FLOPs, C 128/256 — in NHWC where channels ride the lanes at
+        # full tile density (see WNConv2d docstring). Later fmaps are then
+        # emitted in NHWC: every consumer (adversarial + feature-matching
+        # losses) is an elementwise reduction, so the layout is internal;
+        # param shapes/names are impl-invariant (checkpoints carry over).
         unfold = self.conv_impl == "unfold"
+        if self.conv_impl == "hybrid":
+            impls = ["lax", "lax"] + ["nhwc"] * (self.num_layers - 1) + ["nhwc"]
+        else:
+            impls = [self.conv_impl] * (self.num_layers + 2)
         h = jnp.swapaxes(spec, 1, 2)  # [B, bins, frames]
         h = h[:, :, None, :] if unfold else h[:, None]
 
@@ -220,20 +259,22 @@ class DiscriminatorR(nn.Module):
 
         fmap: List[jnp.ndarray] = []
         c = self.channels
-        h = WNConv2d(c, (7, 3), (2, 1), (3, 1), impl=self.conv_impl,
+        h = WNConv2d(c, (7, 3), (2, 1), (3, 1), impl=impls[0],
                      compute_dtype=self.compute_dtype, name="conv_0")(h)
         if self.fixed_activation:
             h = nn.leaky_relu(h, 0.1)
         fmap.append(emit(h))
         for i in range(self.num_layers):
             c = min(c * 2, self.max_channels)
-            h = WNConv2d(c, (5, 3), (2, 1), (2, 1), impl=self.conv_impl,
+            if impls[i + 1] == "nhwc" and impls[i] != "nhwc":
+                h = h.transpose(0, 2, 3, 1)  # NCHW -> NHWC, once
+            h = WNConv2d(c, (5, 3), (2, 1), (2, 1), impl=impls[i + 1],
                          compute_dtype=self.compute_dtype,
                          name=f"conv_{i + 1}")(h)
             if self.fixed_activation:
                 h = nn.leaky_relu(h, 0.1)
             fmap.append(emit(h))
-        h = WNConv2d(1, (3, 3), (1, 1), (1, 1), impl=self.conv_impl,
+        h = WNConv2d(1, (3, 3), (1, 1), (1, 1), impl=impls[-1],
                      compute_dtype=self.compute_dtype, name="post")(h)
         h = emit(h)
         fmap.append(h)
