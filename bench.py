@@ -36,19 +36,25 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 60.0)
 
 
-def timed(make_loop, args, iters: int = 16, reps: int = 3) -> float:
+def timed(make_loop, args, iters: int = 16, reps: int = 3,
+          min_signal: float = 0.05, max_iters: int = 4096) -> float:
     """Per-iteration seconds via two-loop-length differencing + float fetch.
 
     ``make_loop()`` returns one jitted ``loop(n, *args)`` whose fori_loop
     trip count ``n`` is a traced scalar (lowers to a while-loop): ONE
     compile serves both loop lengths — remote compiles through the axon
     tunnel are 3-8 min each, so this halves the cost of every config.
+
+    The differenced signal must dominate the device->host ``float()`` fetch
+    jitter (multi-ms through the axon relay): if ``iters`` iterations take
+    under ``min_signal`` seconds, the trip count is scaled up and the
+    measurement retried — free, because ``n`` is traced (round 2 recorded
+    config 1 at both 60688 and 7756 audio-s/s from a 3.8 ms signal; the
+    stable 256-iteration value is ~41500).
     """
     loop = make_loop()
     n1 = jnp.int32(1)
-    nN = jnp.int32(iters + 1)
     float(loop(n1, *args))  # compile + warm
-    float(loop(nN, *args))
 
     def best(n):
         ts = []
@@ -58,7 +64,19 @@ def timed(make_loop, args, iters: int = 16, reps: int = 3) -> float:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max(best(nN) - best(n1), 1e-9) / iters
+    while True:
+        nN = jnp.int32(iters + 1)
+        float(loop(nN, *args))  # warm this loop length
+        signal = best(nN) - best(n1)
+        if signal >= min_signal or iters >= max_iters:
+            return max(signal, 1e-9) / iters
+        if signal <= 0:  # pure noise — retry conservatively
+            iters = min(iters * 4, max_iters)
+        else:  # scale so the next attempt lands ~2x past min_signal
+            per_iter = signal / iters
+            iters = min(
+                max(iters * 2, int(2 * min_signal / per_iter)), max_iters
+            )
 
 
 def main():
@@ -69,6 +87,16 @@ def main():
     # serving profile (encoder fp32 + vocoder bf16; mel-parity bound enforced
     # by tests/test_mixed_precision.py). Pass --fp32 for the strict profile.
     cfg = TinyVCConfig() if "--fp32" in sys.argv else serving_config()
+    for a in sys.argv:  # --fused=off|on|auto: override the U-Net dispatch
+        if a.startswith("--fused="):
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
+                decoder=dataclasses.replace(
+                    cfg.decoder, use_fused_filter=a.split("=", 1)[1]
+                ),
+            )
     run_all = "--all" in sys.argv
     sr = cfg.audio.sample_rate
     hop = cfg.audio.hop_size

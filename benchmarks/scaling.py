@@ -6,21 +6,37 @@ CPU mesh in tests, a real v5e slice in production — and reports
 audio-seconds/s per device plus efficiency vs the 1-device baseline
 (BASELINE.md: >80% at 2 hosts).
 
-Usage: python benchmarks/scaling.py [--devices 1,2,4,8] [--train]
+Usage: python benchmarks/scaling.py [--devices 1,2,4,8] [--train] [--weak]
+       [--infer] [--cpu N]
+
+``--cpu N`` forces an N-device virtual CPU mesh (jax.config — env vars
+alone do not override the axon sitecustomize, see NOTES_NEXT_ROUND.md).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
+if "--cpu" in sys.argv:  # must run before the backend initialises
+    _n = int(sys.argv[sys.argv.index("--cpu") + 1])
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + f" --xla_force_host_platform_device_count={_n}"
+        ).strip()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 
 def time_fn(f, *args, reps: int = 3) -> float:
@@ -128,6 +144,111 @@ def bench_train(n_devices: int, global_batch: int = 8, seconds: float = 1.0):
     return 1.0 / dt, 1.0 / dt / n_devices
 
 
+def bench_convert_sharded_knn(n_devices: int, batch: int = 4,
+                              seconds: float = 2.0, dict_n: int = 2048):
+    """Sharded-kNN batched conversion: the [N, C] dictionary sharded along
+    the 'model' axis, neighbours resolved by local top-k -> all-gather of
+    (values, vectors) -> re-top-k (parallel/sharded_knn.py). This is
+    BASELINE config 3/5's "index sharded across hosts" variant.
+
+    Closed-form ICI cost of the candidate all-gather, per frame per shard:
+    each shard contributes k*(C+1) fp32 = 4*(768+1)*4 B = 12.3 kB and
+    receives (S-1) of those — at 50 frames/s this is ~615*(S-1) kB/s per
+    audio-stream per shard, vs all-gathering the full dictionary
+    (N*C*4 = 6.3 MB) once per program."""
+    from tinyvc_tpu.config import TinyVCConfig
+    from tinyvc_tpu.infer.generator import convert_fn_sharded
+    from tinyvc_tpu.models import Decoder, Encoder
+    from tinyvc_tpu.parallel import make_mesh, replicate
+    from tinyvc_tpu.parallel.sharded_knn import pad_dictionary
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = TinyVCConfig()
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(data=1, model=n_devices, devices=devices)
+    L = int(seconds * cfg.audio.sample_rate) // 480 * 480
+    F = L // 480
+    key = jax.random.PRNGKey(0)
+    encoder = Encoder(cfg.encoder)
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    k1, k2, k3 = jax.random.split(key, 3)
+    enc_p = encoder.init(k1, jnp.zeros((1, F, 961)))
+    dec_p = decoder.init(
+        k2, jnp.zeros((1, F, 768)), jnp.zeros((1, F)), jnp.zeros((1, L)), k3
+    )
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((batch, L)).astype(np.float32) * 0.1)
+    dictionary = jnp.asarray(
+        rng.standard_normal((dict_n, 768)).astype(np.float32)
+    )
+
+    with jax.set_mesh(mesh):
+        enc_p = replicate(enc_p, mesh)
+        dec_p = replicate(dec_p, mesh)
+        wave = replicate(wave, mesh)
+        dic, mask = pad_dictionary(dictionary, n_devices, k=cfg.retrieval.k)
+        dic = jax.device_put(dic, NamedSharding(mesh, P("model", None)))
+        mask = jax.device_put(mask, NamedSharding(mesh, P("model")))
+
+        @jax.jit
+        def fn(enc_p, dec_p, wave, dic, mask, key):
+            return convert_fn_sharded(
+                encoder, decoder, enc_p, dec_p, wave, dic, mask,
+                jnp.float32(0.0), key, cfg, mesh,
+            )
+
+        dt = time_fn(fn, enc_p, dec_p, wave, dic, mask, key)
+    audio_sec = batch * L / cfg.audio.sample_rate
+    return dt * 1000.0, audio_sec / dt
+
+
+def bench_stream_sharded(n_devices: int, n_blocks: int = 8):
+    """Per-block latency of the streaming step with the kNN dictionary
+    sharded over 'model' (BASELINE config 5 exactly as written). Measured
+    through StreamConverter.process_block (includes the host boundary the
+    real-time path pays)."""
+    import time as _time
+
+    from tinyvc_tpu.config import TinyVCConfig
+    from tinyvc_tpu.infer.stream import StreamConverter
+    from tinyvc_tpu.models import Decoder, Encoder
+    from tinyvc_tpu.parallel import make_mesh
+
+    cfg = TinyVCConfig()
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(data=1, model=n_devices, devices=devices)
+    rng = np.random.default_rng(0)
+    encoder = Encoder(cfg.encoder)
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    F = cfg.stream.input_size // cfg.audio.hop_size
+    L = F * cfg.audio.hop_size
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    enc_p = encoder.init(k1, jnp.zeros((1, F, 961)))
+    dec_p = decoder.init(
+        k2, jnp.zeros((1, F, 768)), jnp.zeros((1, F)), jnp.zeros((1, L)), k3
+    )
+    target = rng.standard_normal((2048, 768)).astype(np.float32)
+
+    with jax.set_mesh(mesh):
+        conv = StreamConverter(
+            enc_p, dec_p, jnp.asarray(target), cfg,
+            key=jax.random.PRNGKey(5), mesh=mesh,
+        )
+        blocks = [
+            (rng.standard_normal(cfg.stream.block_size) * 0.1).astype(
+                np.float32
+            )
+            for _ in range(n_blocks + 2)
+        ]
+        conv.process_block(blocks[0])  # compile
+        conv.process_block(blocks[1])  # warm
+        t0 = _time.perf_counter()
+        for b in blocks[2:]:
+            conv.process_block(b)
+        dt = (_time.perf_counter() - t0) / n_blocks
+    return dt * 1000.0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", default=None)
@@ -136,6 +257,16 @@ def main():
                    help="fixed global batch for --train (strong scaling)")
     p.add_argument("--train", action="store_true",
                    help="measure the DP GAN train step instead of conversion")
+    p.add_argument("--weak", action="store_true",
+                   help="with --train: fixed PER-DEVICE batch (weak scaling;"
+                        " separates collective overhead from host-core"
+                        " saturation on the virtual mesh)")
+    p.add_argument("--infer", action="store_true",
+                   help="measure the sharded-kNN inference paths (batched"
+                        " convert + streaming step) over the 'model' axis")
+    p.add_argument("--cpu", type=int, default=None,
+                   help="force an N-device virtual CPU mesh (handled at"
+                        " import time)")
     args = p.parse_args()
 
     n_avail = len(jax.devices())
@@ -149,6 +280,29 @@ def main():
     results = []
     base_per_dev = None
     for n in counts:
+        if args.infer:
+            ms, rtf = bench_convert_sharded_knn(n)
+            row = {
+                "devices": n,
+                "convert_ms_per_call": round(ms, 2),
+                "convert_rtf": round(rtf, 2),
+                "stream_block_ms": round(bench_stream_sharded(n), 3),
+            }
+            results.append(row)
+            print(json.dumps(row))
+            continue
+        if args.train and args.weak:
+            total, per_dev = bench_train(
+                n, global_batch=args.per_device_batch * n
+            )
+            row = {
+                "devices": n,
+                "steps_per_s": round(total, 3),
+                "per_device_batch": args.per_device_batch,
+            }
+            results.append(row)
+            print(json.dumps(row))
+            continue
         if args.train:
             total, per_dev = bench_train(n, global_batch=args.global_batch)
             total_key, per_key = "steps_per_s", "steps_per_s_per_device"

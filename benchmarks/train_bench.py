@@ -28,13 +28,15 @@ from tinyvc_tpu.config import TinyVCConfig
 from tinyvc_tpu.train import decoder_train, encoder_train
 
 
-def timed(make_loop, args, iters=8, reps=3):
+def timed(make_loop, args, iters=8, reps=3, min_signal=0.05, max_iters=4096):
     """One compiled program with a traced trip count serves both loop
-    lengths (remote compiles are 3-8 min each)."""
+    lengths (remote compiles are 3-8 min each). The trip count grows until
+    the differenced signal clears the float() fetch jitter (see
+    bench.py::timed — sub-ms steps like the encoder's 0.82 ms need
+    hundreds of iterations for a trustworthy number)."""
     loop = make_loop()
-    n1, nN = jnp.int32(1), jnp.int32(iters + 1)
+    n1 = jnp.int32(1)
     float(loop(n1, *args))
-    float(loop(nN, *args))
 
     def best(n):
         ts = []
@@ -44,7 +46,19 @@ def timed(make_loop, args, iters=8, reps=3):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max(best(nN) - best(n1), 1e-9) / iters
+    while True:
+        nN = jnp.int32(iters + 1)
+        float(loop(nN, *args))
+        signal = best(nN) - best(n1)
+        if signal >= min_signal or iters >= max_iters:
+            return max(signal, 1e-9) / iters
+        if signal <= 0:
+            iters = min(iters * 4, max_iters)
+        else:
+            per_iter = signal / iters
+            iters = min(
+                max(iters * 2, int(2 * min_signal / per_iter)), max_iters
+            )
 
 
 def main():
@@ -74,6 +88,15 @@ def main():
                     cfg,
                     discriminator=dataclasses.replace(
                         cfg.discriminator, compute_dtype="bfloat16"
+                    ),
+                )
+            elif name.endswith("-hybrid"):
+                import dataclasses
+
+                scfg = dataclasses.replace(
+                    cfg,
+                    discriminator=dataclasses.replace(
+                        cfg.discriminator, mrd_conv_impl="hybrid"
                     ),
                 )
             step = decoder_train.make_train_step(

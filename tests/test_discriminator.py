@@ -50,6 +50,29 @@ def test_discriminator_forward_parity(rng):
     for a, b in zip(unf_feats, ours_feats):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+    # 'hybrid' (NCHW stem + NHWC deep layers) must match 'lax' numerically;
+    # its deep-layer maps come out NHWC (layout is internal — every consumer
+    # is an elementwise reduction), so normalise layout before comparing.
+    hyb_logits, hyb_feats = Discriminator(
+        dataclasses.replace(DiscriminatorConfig(), mrd_conv_impl="hybrid")
+    ).apply(params, jnp.asarray(x))
+
+    def as_nchw(got, want):
+        got = np.asarray(got)
+        if got.shape != want.shape:  # NHWC-emitted deep-layer map
+            got = got.transpose(0, 3, 1, 2)
+        assert got.shape == want.shape
+        return got
+
+    for a, b in zip(hyb_logits, ours_logits):
+        np.testing.assert_allclose(
+            as_nchw(a, np.asarray(b)), np.asarray(b), atol=2e-5
+        )
+    for a, b in zip(hyb_feats, ours_feats):
+        np.testing.assert_allclose(
+            as_nchw(a, np.asarray(b)), np.asarray(b), atol=2e-5
+        )
+
 
 def test_lsgan_and_feature_losses(rng):
     # oracle: the inlined loss code in train_decoder.py:113-149

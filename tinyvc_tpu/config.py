@@ -119,7 +119,10 @@ class DiscriminatorConfig:
     # 128/256-channel layers — channels ride the lane axis at full tile
     # density; numerically identical, layout is internal) or 'unfold'
     # (windows->matmul; see models/discriminator.py WNConv2d for the three
-    # measured-slower layout variants).
+    # measured-slower layout variants). MEASURED (round 3, post-join GAN
+    # step on chip): 'hybrid' 37.46 ms vs 'lax' 37.69 — a wash, within
+    # run noise; the MRD cost is per-op fixed dispatch, not layout, so
+    # only op-count reduction can move it. 'lax' stays the default.
     mrd_conv_impl: str = "lax"
 
 

@@ -27,15 +27,28 @@ from .interp import linear_interp_last
 
 
 def _frame_centered(x: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
-    """[B, L] -> [B, F, window] frames centred every ``hop`` (edge-padded)."""
+    """[B, L] -> [B, F, window] frames centred every ``hop`` (reflect-padded).
+
+    Gather-free: a fancy-index gather runs ~600 MB/s on TPU (the repo's #1
+    measured pathology); instead drop the first ``hop // 2`` samples of the
+    padded signal so frame ``i`` starts at ``i * hop`` exactly, reshape into
+    hop-sized blocks, and build frames from ``ceil(window / hop)`` shifted
+    unit-step block views (same trick as ``dsp/stft.py::_frame``).
+    """
     B, L = x.shape
     F = L // hop
     pad = window // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    # frame centres at (i + 0.5) * hop
-    starts = (jnp.arange(F) * hop + hop // 2).astype(jnp.int32)
-    idx = starts[:, None] + jnp.arange(window)[None, :]
-    return xp[:, idx]
+    # frame centres at (i + 0.5) * hop -> starts at i * hop after this shift
+    xp = xp[:, hop // 2 :]
+    ratio = -(-window // hop)  # ceil: blocks each frame spans
+    need = (F - 1 + ratio) * hop
+    if xp.shape[1] < need:
+        xp = jnp.pad(xp, ((0, 0), (0, need - xp.shape[1])))
+    blocks = xp[:, :need].reshape(B, -1, hop)  # [B, F-1+ratio, hop]
+    views = [blocks[:, r : r + F] for r in range(ratio)]
+    frames = jnp.concatenate(views, axis=-1).reshape(B, F, ratio * hop)
+    return frames[:, :, :window]
 
 
 @functools.partial(

@@ -394,6 +394,9 @@ class Decoder(nn.Module):
                 self.audio.sample_rate,
                 20.0,
                 transpose_out=not channels_first,
+                # f0 always comes from the frozen encoder (reference
+                # `train_decoder.py:67-68,101`) — no df0 consumer exists
+                grad_f0=False,
             )
         else:
             harmonics = oscillate_harmonics(

@@ -392,9 +392,9 @@ def _pallas_backward_amps(
 # `train_decoder.py:67-68`) runs through `_osc_bwd_kernel`; the f0 gradient
 # falls back to the vjp of the mathematically identical XLA chain and is
 # dead-code-eliminated whenever nothing consumes it.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _osc(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
-         interpret, transpose_out):
+         interpret, transpose_out, grad_f0):
     return _pallas_forward(
         f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
         interpret, transpose_out,
@@ -402,7 +402,7 @@ def _osc(f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
 
 
 def _osc_fwd(f0, amps, frame_size, sample_rate, min_frequency,
-             frames_per_block, interpret, transpose_out):
+             frames_per_block, interpret, transpose_out, grad_f0):
     out = _pallas_forward(
         f0, amps, frame_size, sample_rate, min_frequency, frames_per_block,
         interpret, transpose_out,
@@ -411,15 +411,21 @@ def _osc_fwd(f0, amps, frame_size, sample_rate, min_frequency,
 
 
 def _osc_bwd(frame_size, sample_rate, min_frequency, frames_per_block,
-             interpret, transpose_out, res, g):
+             interpret, transpose_out, grad_f0, res, g):
     f0, amps = res
     g_t = jnp.swapaxes(g, 1, 2) if transpose_out else g  # [B, H1, L]
     damps = _pallas_backward_amps(
         f0, g_t, frame_size, sample_rate, min_frequency, frames_per_block,
         interpret,
     ).astype(amps.dtype)
-    # f0 gradient: XLA-chain vjp (df0-only; DCE removes this whole branch
-    # when the caller never consumes df0 — the GAN step's encoder is frozen)
+    if not grad_f0:
+        # f0 is a label-like signal from the frozen encoder in every
+        # training path (reference `train_decoder.py:67-68,101`); skipping
+        # the fallback vjp keeps its interp gathers/scatters out of the
+        # traced program entirely (tests/test_no_gather.py), instead of
+        # relying on XLA DCE to remove the dead chain.
+        return jnp.zeros_like(f0), damps
+    # f0 gradient: XLA-chain vjp (df0-only)
     g_l = jnp.swapaxes(g_t, 1, 2)  # fallback chain is [B, L, H1]
     _, vjp = jax.vjp(
         lambda f: _xla_fallback(
@@ -443,6 +449,7 @@ _osc.defvjp(_osc_fwd, _osc_bwd)
         "frames_per_block",
         "interpret",
         "transpose_out",
+        "grad_f0",
     ),
 )
 def oscillator_bank(
@@ -454,13 +461,17 @@ def oscillator_bank(
     frames_per_block: int = 24,
     interpret: bool = False,
     transpose_out: bool = True,
+    grad_f0: bool = True,
 ) -> jnp.ndarray:
     """f0 [B, F], amps [B, F, H1] -> modulated harmonics [B, F*frame, H1]
     (or [B, H1, F*frame] with ``transpose_out=False``).
 
     Fused equivalent of
     ``oscillate_harmonics(f0) * upsample_frames_to_samples(amps)``.
-    Differentiable: backward runs through the XLA chain (custom_vjp above).
+    Differentiable: the amps gradient runs through a Pallas backward
+    kernel; the f0 gradient uses the XLA-chain vjp when ``grad_f0`` (pass
+    False when f0 comes from a frozen producer — returns zeros and keeps
+    the fallback's gathers out of the traced program).
     """
     return _osc(
         f0,
@@ -471,4 +482,5 @@ def oscillator_bank(
         frames_per_block,
         interpret,
         transpose_out,
+        grad_f0,
     )
