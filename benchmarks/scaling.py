@@ -249,6 +249,51 @@ def bench_stream_sharded(n_devices: int, n_blocks: int = 8):
     return dt * 1000.0
 
 
+def bench_knn_only(n_devices: int, batch: int = 4, frames: int = 500,
+                   dict_n: int = 16384):
+    """The sharded-kNN match ALONE (no replicated encoder/decoder around
+    it): total similarity work is constant across device counts, so on the
+    virtual CPU mesh the wall-time growth vs 1 device IS the
+    sharding/collective overhead — the signal the full-convert row cannot
+    give (there the replicated model compute dominates on shared cores).
+
+    ICI payload per frame per shard (closed form): the candidate
+    all-gather moves k*(C+1) fp32 = 4*769*4 = 12.3 kB from each shard;
+    each shard receives (S-1)*12.3 kB per frame. The dense alternative
+    all-gathers the whole dictionary once: N*C*4 bytes (= 48 MB at
+    N=16384), amortised over all frames."""
+    from tinyvc_tpu.ops.retrieval import match_features
+    from tinyvc_tpu.parallel import make_mesh, replicate
+    from tinyvc_tpu.parallel.sharded_knn import (
+        pad_dictionary, sharded_match_features,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    source = jnp.asarray(
+        rng.standard_normal((batch, frames, 768)).astype(np.float32)
+    )
+    dictionary = jnp.asarray(
+        rng.standard_normal((dict_n, 768)).astype(np.float32)
+    )
+    if n_devices == 0:  # dense single-device baseline
+        fn = jax.jit(lambda s, d: match_features(s, d[None]))
+        dt = time_fn(fn, source, dictionary)
+        return dt * 1000.0
+    mesh = make_mesh(data=1, model=n_devices,
+                     devices=jax.devices()[:n_devices])
+    with jax.set_mesh(mesh):
+        src = replicate(source, mesh)
+        dic, mask = pad_dictionary(dictionary, n_devices)
+        dic = jax.device_put(dic, NamedSharding(mesh, P("model", None)))
+        mask = jax.device_put(mask, NamedSharding(mesh, P("model")))
+        fn = jax.jit(
+            lambda s, d, m: sharded_match_features(mesh, s, d, m)
+        )
+        dt = time_fn(fn, src, dic, mask)
+    return dt * 1000.0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", default=None)
@@ -264,6 +309,10 @@ def main():
     p.add_argument("--infer", action="store_true",
                    help="measure the sharded-kNN inference paths (batched"
                         " convert + streaming step) over the 'model' axis")
+    p.add_argument("--knn", action="store_true",
+                   help="measure ONLY the sharded-kNN match (constant total"
+                        " work: isolates collective/sharding overhead on"
+                        " the virtual mesh)")
     p.add_argument("--cpu", type=int, default=None,
                    help="force an N-device virtual CPU mesh (handled at"
                         " import time)")
@@ -276,6 +325,17 @@ def main():
         else sorted({1, 2, n_avail} & set(range(1, n_avail + 1)))
     )
     counts = [c for c in counts if c <= n_avail]
+
+    if args.knn:
+        base = bench_knn_only(0)
+        print(json.dumps({"devices": "dense-1", "knn_ms": round(base, 2)}))
+        for n in counts:
+            ms = bench_knn_only(n)
+            print(json.dumps({
+                "devices": n, "knn_ms": round(ms, 2),
+                "overhead_vs_dense": round(ms / base, 3),
+            }))
+        return
 
     results = []
     base_per_dev = None

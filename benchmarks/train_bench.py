@@ -99,6 +99,15 @@ def main():
                         cfg.discriminator, mrd_conv_impl="hybrid"
                     ),
                 )
+            elif name.endswith("-fusedmrd"):
+                import dataclasses
+
+                scfg = dataclasses.replace(
+                    cfg,
+                    discriminator=dataclasses.replace(
+                        cfg.discriminator, mrd_conv_impl="fused"
+                    ),
+                )
             step = decoder_train.make_train_step(
                 scfg, d_join=name.startswith("gan-post")
             )

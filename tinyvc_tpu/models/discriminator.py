@@ -177,6 +177,41 @@ class WNConv2d(nn.Module):
         return y + bias[None, None, :, None]
 
 
+class WNConv2dWeights(nn.Module):
+    """Parameter-only twin of :class:`WNConv2d`: creates the identical
+    ``v``/``g``/``bias`` tree (same names, shapes, inits — checkpoints are
+    interchangeable) and returns the effective weight-normalised HWIO
+    kernel + bias instead of applying a conv. Used by the fused MRD chain
+    (`ops/pallas/mrd.py`), which consumes effective weights directly; the
+    weight-norm math stays in this XLA region so its gradient comes from
+    autodiff."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kh, kw = self.kernel_size
+        v = self.param(
+            "v", torch_kernel_init(), (kh, kw, cin, self.features),
+            jnp.float32,
+        )
+        g = self.param(
+            "g",
+            lambda key, shape, dtype=jnp.float32: jnp.sqrt(
+                jnp.sum(v * v, axis=(0, 1, 2))
+            ).astype(dtype),
+            (self.features,),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", torch_bias_init(kh * kw * cin), (self.features,),
+            jnp.float32,
+        )
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
+        return v / norm * g, bias
+
+
 class DiscriminatorP(nn.Module):
     """Period-folded 2D conv discriminator (reference `discriminator.py:10-45`)."""
 
@@ -235,6 +270,8 @@ class DiscriminatorR(nn.Module):
         n_fft = self.resolution * 4
         # fp32 spectrogram, frame 0 kept (torch.stft default, `discriminator.py:91-96`)
         spec = stft_magnitude(x, n_fft, self.resolution, drop_first=False)
+        if self.conv_impl == "fused":
+            return self._fused(spec, x.shape[-1])
         # torch layout is [B, bins, frames]; ours [B, frames, bins]. Bins are
         # the strided conv axis H. The 'unfold' chain runs [B, H, C, W]
         # (taps on sublanes, frames on lanes) with fmaps emitted in torch
@@ -279,6 +316,65 @@ class DiscriminatorR(nn.Module):
         h = emit(h)
         fmap.append(h)
         return h, fmap
+
+    def _fused(self, spec: jnp.ndarray, T: int):
+        """Whole conv stack in ONE Pallas kernel (two for backward) via the
+        phase-plane-major layout — see `ops/mrd_planes.py` /
+        `ops/pallas/mrd.py`. Outputs (logits and fmaps) come back FLAT
+        plane-major ``[B, c, s_out*(g_out+4)*Wp]`` with zeros at invalid
+        positions; consumers must divide by ``plan.valid_count(i)`` (the
+        losses take ``valid_counts`` — layout is internal, both real and
+        fake run the same impl). Faithful-quirk mode only (the chain is
+        linear); ``fixed_activation`` falls back to the lax lowering."""
+        assert not self.fixed_activation, (
+            "mrd_conv_impl='fused' supports the faithful (activation-free) "
+            "MRD only; use 'lax' with mrd_fixed_activation=True"
+        )
+        from ..ops.mrd_planes import make_plan, pack_spec_planes
+        from ..ops.pallas.mrd import mrd_chain
+
+        plan = make_plan(
+            self.resolution, T, self.channels, self.max_channels,
+            self.num_layers,
+        )
+        spec_pm = pack_spec_planes(jnp.swapaxes(spec, 1, 2), plan)
+        ws: List[jnp.ndarray] = []
+        bs: List[jnp.ndarray] = []
+        names = [f"conv_{i}" for i in range(self.num_layers + 1)] + ["post"]
+        for lp, name in zip(plan.layers, names):
+            w, b = WNConv2dWeights(lp.cout, (lp.kh, lp.kw), name=name)(
+                lp.cin
+            )
+            ws.append(w)
+            bs.append(b)
+        on_cpu = jax.default_backend() in ("cpu", "gpu")
+        outs = mrd_chain(
+            spec_pm, tuple(ws), tuple(bs), plan,
+            "float32" if on_cpu else "bfloat16", on_cpu,
+        )
+        return outs[-1], list(outs)
+
+
+def fused_mrd_valid_counts(cfg: DiscriminatorConfig, T: int):
+    """Static (logit_counts, fmap_counts) aligned with Discriminator's
+    output lists when ``mrd_conv_impl == 'fused'``: MPD entries are None
+    (dense tensors), fused-MRD entries are the plane-major valid-position
+    counts the masked losses divide by. T = waveform length (the disc
+    crop)."""
+    from ..ops.mrd_planes import make_plan
+
+    logit_counts, fmap_counts = [], []
+    n_mpd_fmaps = cfg.num_layers + 2
+    for _ in cfg.periods:
+        logit_counts.append(None)
+        fmap_counts += [None] * n_mpd_fmaps
+    for r in cfg.resolutions:
+        plan = make_plan(r, T, cfg.channels, cfg.max_channels,
+                         cfg.num_layers)
+        n = len(plan.layers)
+        logit_counts.append(plan.valid_count(n - 1))
+        fmap_counts += [plan.valid_count(i) for i in range(n)]
+    return logit_counts, fmap_counts
 
 
 class Discriminator(nn.Module):

@@ -127,6 +127,17 @@ def make_train_step(
     )
     fused_flag = cfg.decoder.use_fused_filter_train
     use_fused = fused_flag == "on" or (fused_flag == "auto" and not on_cpu)
+
+    # fused MRD emits plane-major logits/fmaps with zero-padded invalid
+    # positions; the losses then divide by the static valid counts
+    if cfg.discriminator.mrd_conv_impl == "fused":
+        from ..models.discriminator import fused_mrd_valid_counts
+
+        logit_counts, fmap_counts = fused_mrd_valid_counts(
+            cfg.discriminator, cfg.train.disc_crop
+        )
+    else:
+        logit_counts = fmap_counts = None
     # with the fused path the DSP source stays channels-first [B, H+2, L]
     dsp_axis = (
         1 if (use_fused or cfg.decoder.filter_layout == "cf") else -1
@@ -226,8 +237,10 @@ def make_train_step(
                 logits_fake, feats_fake = disc.apply(
                     state.disc_params, fake_crop
                 )
-                loss_adv = generator_adversarial_loss(logits_fake)
-                loss_feat = feature_matching_loss(feats_real, feats_fake)
+                loss_adv = generator_adversarial_loss(logits_fake, logit_counts)
+                loss_feat = feature_matching_loss(
+                    feats_real, feats_fake, fmap_counts
+                )
                 loss_g = (
                     loss_spec * cfg.train.weight_spec
                     + loss_dsp * cfg.train.weight_dsp
@@ -258,7 +271,9 @@ def make_train_step(
             def d_loss_fn(dp):
                 logits_real, _ = disc.apply(dp, real_crop)
                 logits_fake, _ = disc.apply(dp, fake_crop)
-                return discriminator_adversarial_loss(logits_real, logits_fake)
+                return discriminator_adversarial_loss(
+                    logits_real, logits_fake, logit_counts
+                )
 
             loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
             d_updates, disc_opt = dtx.update(
@@ -300,8 +315,8 @@ def make_train_step(
         def g_head(fake_, dsp_, lf, ff):
             loss_dsp = spec_loss(jnp.sum(dsp_, axis=dsp_axis), wave)
             loss_spec = spec_loss(fake_, wave)
-            loss_adv = generator_adversarial_loss(lf)
-            loss_feat = feature_matching_loss(feats_real, ff)
+            loss_adv = generator_adversarial_loss(lf, logit_counts)
+            loss_feat = feature_matching_loss(feats_real, ff, fmap_counts)
             loss_g = (
                 loss_spec * cfg.train.weight_spec
                 + loss_dsp * cfg.train.weight_dsp
@@ -333,7 +348,7 @@ def make_train_step(
 
         # discriminator phase: reuse both primal forwards' residuals
         def d_head(lr, lf):
-            return discriminator_adversarial_loss(lr, lf)
+            return discriminator_adversarial_loss(lr, lf, logit_counts)
 
         loss_d, (d_lr, d_lf) = jax.value_and_grad(d_head, argnums=(0, 1))(
             logits_real, logits_fake

@@ -13,6 +13,7 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..dsp.mel import mel_spectrogram
 from ..dsp.stft import stft_magnitude, stft_magnitude_matmul
@@ -64,33 +65,76 @@ def log_mel_loss(
     return jnp.mean(jnp.abs(jnp.nan_to_num(xm) - jnp.nan_to_num(ym)))
 
 
-def generator_adversarial_loss(logits: List[jnp.ndarray]) -> jnp.ndarray:
+def _mean_sq(x: jnp.ndarray, count) -> jnp.ndarray:
+    """mean(x**2) over valid positions. ``count`` (static int) = valid
+    positions per [batch, channel] slice for plane-major fused-MRD outputs
+    (invalid positions are exactly zero, so only the divisor changes);
+    None = dense tensor, plain mean."""
+    if count is None:
+        return jnp.mean(x.astype(jnp.float32) ** 2)
+    B, c = x.shape[0], x.shape[1]
+    return jnp.sum(x.astype(jnp.float32) ** 2) / (B * c * count)
+
+
+def _mean_sq_minus1(x: jnp.ndarray, count) -> jnp.ndarray:
+    """mean((x-1)**2) over valid positions. Invalid positions hold exactly
+    0 and would each contribute 1 to the sum — subtract them in closed
+    form instead of carrying a mask array."""
+    if count is None:
+        return jnp.mean((x.astype(jnp.float32) - 1.0) ** 2)
+    B, c = x.shape[0], x.shape[1]
+    total = int(np.prod(x.shape[2:]))
+    s = jnp.sum((x.astype(jnp.float32) - 1.0) ** 2) - B * c * (total - count)
+    return s / (B * c * count)
+
+
+def generator_adversarial_loss(
+    logits: List[jnp.ndarray], valid_counts=None
+) -> jnp.ndarray:
     """LSGAN generator loss: push fake logits to 0 (the reference's inverted
-    label convention, `train_decoder.py:116-118`)."""
+    label convention, `train_decoder.py:116-118`). ``valid_counts``: per
+    logit, None (dense) or the static valid-position count (plane-major
+    fused-MRD outputs, `ops/mrd_planes.py`)."""
+    counts = valid_counts or [None] * len(logits)
     loss = 0.0
-    for logit in logits:
-        loss += jnp.mean(logit**2) / len(logits)
+    for logit, cnt in zip(logits, counts):
+        loss += _mean_sq(logit, cnt) / len(logits)
     return loss
 
 
 def discriminator_adversarial_loss(
-    real_logits: List[jnp.ndarray], fake_logits: List[jnp.ndarray]
+    real_logits: List[jnp.ndarray],
+    fake_logits: List[jnp.ndarray],
+    valid_counts=None,
 ) -> jnp.ndarray:
     """LSGAN discriminator loss: real -> 0, fake -> 1
     (reference `train_decoder.py:140-149`)."""
+    counts = valid_counts or [None] * len(real_logits)
     loss = 0.0
-    for logit in real_logits:
-        loss += jnp.mean(logit**2) / len(real_logits)
-    for logit in fake_logits:
-        loss += jnp.mean((logit - 1.0) ** 2) / len(fake_logits)
+    for logit, cnt in zip(real_logits, counts):
+        loss += _mean_sq(logit, cnt) / len(real_logits)
+    for logit, cnt in zip(fake_logits, counts):
+        loss += _mean_sq_minus1(logit, cnt) / len(fake_logits)
     return loss
 
 
 def feature_matching_loss(
-    real_feats: List[jnp.ndarray], fake_feats: List[jnp.ndarray]
+    real_feats: List[jnp.ndarray],
+    fake_feats: List[jnp.ndarray],
+    valid_counts=None,
 ) -> jnp.ndarray:
-    """L1 between discriminator feature maps (reference `train_decoder.py:119-121`)."""
+    """L1 between discriminator feature maps (reference
+    `train_decoder.py:119-121`). Plane-major fused-MRD maps hold exact
+    zeros at invalid positions in BOTH operands, so only the mean's
+    divisor changes (``valid_counts`` entries, static ints)."""
+    counts = valid_counts or [None] * len(real_feats)
     loss = 0.0
-    for r, f in zip(real_feats, fake_feats):
-        loss += jnp.mean(jnp.abs(r - f)) / len(real_feats)
+    for r, f, cnt in zip(real_feats, fake_feats, counts):
+        if cnt is None:
+            loss += jnp.mean(jnp.abs(r - f)) / len(real_feats)
+        else:
+            B, c = r.shape[0], r.shape[1]
+            loss += jnp.sum(
+                jnp.abs(r.astype(jnp.float32) - f.astype(jnp.float32))
+            ) / (B * c * cnt) / len(real_feats)
     return loss
