@@ -22,7 +22,10 @@ from tinyvc_tpu.dsp import log_mel_spectrogram
 from tinyvc_tpu.infer.generator import convert_fn
 from tinyvc_tpu.models import Decoder, Encoder
 from tinyvc_tpu.parallel import make_mesh
-from tinyvc_tpu.parallel.time_shard import time_sharded_convert
+from tinyvc_tpu.parallel.time_shard import (
+    time_batched_convert,
+    time_sharded_convert,
+)
 
 
 def test_time_sharded_invariance_and_mel_parity(rng):
@@ -103,3 +106,32 @@ def test_time_sharded_invariance_and_mel_parity(rng):
     mel_out = np.asarray(log_mel_spectrogram(jnp.asarray(out_det[None])))
     mel_l1 = np.abs(mel_ref - mel_out).mean()
     assert mel_l1 < 0.05 * np.abs(mel_ref).mean(), mel_l1
+
+    # the single-device BATCHED variant (vmap axis_name) must reproduce the
+    # mesh-sharded result: identical math, collectives resolved intra-array.
+    # fp reassociation across the two lowerings allows tiny elementwise
+    # drift; the guarantee is the same as shard-count invariance.
+    out_bat = np.asarray(
+        time_batched_convert(
+            enc_p_det, dec_p, jnp.asarray(wave), jnp.asarray(target),
+            jnp.float32(2.0), key, cfg, shards=4, halo_frames=H,
+            filter_halo=FH, noise_angle=jnp.asarray(angle),
+        )
+    )
+    assert out_bat.shape == (L,)
+    rel_b = np.abs(out_bat - out_det).max() / np.abs(out_det).max()
+    assert rel_b < 5e-2, rel_b
+    mel_bat = np.asarray(log_mel_spectrogram(jnp.asarray(out_bat[None])))
+    mel_b_l1 = np.abs(mel_ref - mel_bat).mean()
+    assert mel_b_l1 < 0.05 * np.abs(mel_ref).mean(), mel_b_l1
+
+    # and without the deterministic-angle override it must still run (the
+    # global-frame noise indexing path) and stay finite
+    out_rng = np.asarray(
+        time_batched_convert(
+            enc_p_det, dec_p, jnp.asarray(wave), jnp.asarray(target),
+            jnp.float32(2.0), key, cfg, shards=4, halo_frames=H,
+            filter_halo=FH,
+        )
+    )
+    assert np.isfinite(out_rng).all()

@@ -1,9 +1,12 @@
 """CLI: batch file conversion (counterpart of the reference `infer.py`).
 
-The reference's vestigial ``--chunk-size/--buffer-size/--no-chunking`` flags
-(parsed but unused, `infer.py:27-29,40-41`) are intentionally absent —
-whole-utterance conversion with length bucketing is the only mode, matching
-the reference's actual behaviour.
+The reference parses ``--chunk-size/--buffer-size/--no-chunking`` flags but
+never uses them (`infer.py:27-29,40-41` — vestigial; whole-utterance only).
+Here chunking is REAL: ``-c/--chunk-frames N`` converts each utterance in
+exact overlap-save chunks batched on one device (GRN statistics, harmonic
+phase, and noise indexing stitched across chunk joins — mel-level identical
+to the whole-utterance mode, memory bounded by the chunk size). Default 0 =
+whole-utterance, the reference's actual behaviour.
 """
 
 import argparse

@@ -299,3 +299,61 @@ class VoiceConverter:
         )
         out = np.asarray(out)[:, :L]
         return out[0] if squeeze else out
+
+    def convert_chunked(
+        self,
+        wave: np.ndarray,
+        target: jnp.ndarray,
+        pitch_shift: float = 0.0,
+        key: Optional[jax.Array] = None,
+        chunk_frames: int = 512,
+        halo_frames: int = 96,
+        filter_halo: int = 32,
+    ) -> np.ndarray:
+        """Exact chunked long-utterance conversion: [L] -> [L].
+
+        The reference parses ``--chunk-size``/``--no-chunking`` but never
+        implements chunking (`infer.py:27-29,40-41` — vestigial). This is
+        the real thing: overlap-save chunks of ``chunk_frames`` frames run
+        as a batch on one device (`parallel/time_shard.py::
+        time_batched_convert`), with GRN statistics, harmonic phase, and
+        noise indexing stitched exactly — output matches the whole-utterance
+        mode at the mel level while peak activation memory is bounded by
+        the chunk size, and the chunk batch amortises per-op dispatch cost
+        for B=1 longform inputs.
+        """
+        from ..parallel.time_shard import time_batched_convert
+
+        wave = np.asarray(wave, dtype=np.float32)
+        assert wave.ndim == 1, "chunked conversion takes a single utterance"
+        hop = self.cfg.audio.hop_size
+        L0 = wave.shape[0]
+        F = -(-L0 // hop)
+        S = max(1, -(-F // chunk_frames))
+        Fp = S * chunk_frames  # seg == chunk_frames -> one compile per S
+        padded = np.zeros((Fp * hop,), np.float32)
+        padded[:L0] = wave
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        cache = getattr(self, "_chunked_cache", None)
+        if cache is None:
+            cache = self._chunked_cache = {}
+        sig = (S, Fp, chunk_frames, halo_frames, filter_halo)
+        fn = cache.get(sig)
+        if fn is None:
+            cfg_ = self.cfg
+
+            @jax.jit
+            def fn(enc_p, dec_p, w, tgt, ps, k):
+                return time_batched_convert(
+                    enc_p, dec_p, w, tgt, ps, k, cfg_, shards=S,
+                    halo_frames=halo_frames, filter_halo=filter_halo,
+                )
+
+            cache[sig] = fn
+        out = fn(
+            self.enc_params, self.dec_params, jnp.asarray(padded),
+            jnp.asarray(target), jnp.float32(pitch_shift), key,
+        )
+        return np.asarray(out)[:L0]

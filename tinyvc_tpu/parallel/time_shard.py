@@ -70,27 +70,24 @@ def _per_frame_angles(key: jax.Array, frame_indices: jnp.ndarray, bins: int):
     return jax.vmap(one)(frame_indices)
 
 
-def time_sharded_convert(
-    mesh: Mesh,
+def _prepare_overlap_save(
     enc_params: Dict[str, Any],
     dec_params: Dict[str, Any],
     wave: jnp.ndarray,
-    target: jnp.ndarray,
     pitch_shift: jnp.ndarray,
     key: jax.Array,
     cfg: TinyVCConfig,
-    halo_frames: int = 96,
-    filter_halo: int = 32,
-    axis: str = "data",
-    noise_angle: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """wave [L] -> converted [L], sharded along ``axis`` of ``mesh``.
-
-    L must be a multiple of ``shards * hop``. ``noise_angle`` ([F, fft_bin])
-    overrides the per-frame noise phases (deterministic tests).
-    """
+    S: int,
+    halo_frames: int,
+    filter_halo: int,
+    axis: str,
+):
+    """Shared core of the sharded and batched long-utterance converters:
+    builds the [S, win] halo windows and the per-shard function. The
+    per-shard function uses only named-axis collectives (psum / all_gather /
+    axis_index), so it runs identically under ``shard_map`` over a mesh axis
+    and under ``jax.vmap(axis_name=...)`` on a single device."""
     hop = cfg.audio.hop_size
-    S = mesh.shape[axis]
     L = wave.shape[-1]
     assert L % (S * hop) == 0, "bucket utterance length to shards*hop multiples"
     F = L // hop
@@ -225,18 +222,50 @@ def time_sharded_convert(
         core = jax.lax.dynamic_slice(out, (0, M * hop), (1, seg * hop))
         return core
 
+    return windows, shard_fn, seg, M, fft_bin
+
+
+def _angle_shards(noise_angle, S, seg, M, fft_bin):
+    """Per-shard windows of the [F, bins] deterministic noise-phase table."""
+    sw0s = [i * seg - M for i in range(S)]
+    pad_a = jnp.pad(noise_angle, ((M, M), (0, 0)), mode="edge")
+    return jnp.stack(
+        [
+            jax.lax.dynamic_slice(pad_a, (s + M, 0), (seg + 2 * M, fft_bin))
+            for s in sw0s
+        ]
+    )  # [S, seg+2M, bins]
+
+
+def time_sharded_convert(
+    mesh: Mesh,
+    enc_params: Dict[str, Any],
+    dec_params: Dict[str, Any],
+    wave: jnp.ndarray,
+    target: jnp.ndarray,
+    pitch_shift: jnp.ndarray,
+    key: jax.Array,
+    cfg: TinyVCConfig,
+    halo_frames: int = 96,
+    filter_halo: int = 32,
+    axis: str = "data",
+    noise_angle: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """wave [L] -> converted [L], sharded along ``axis`` of ``mesh``.
+
+    L must be a multiple of ``shards * hop``. ``noise_angle`` ([F, fft_bin])
+    overrides the per-frame noise phases (deterministic tests).
+    """
+    S = mesh.shape[axis]
+    L = wave.shape[-1]
+    windows, shard_fn, seg, M, fft_bin = _prepare_overlap_save(
+        enc_params, dec_params, wave, pitch_shift, key, cfg,
+        S, halo_frames, filter_halo, axis,
+    )
+
     if noise_angle is not None:
         # slice per-shard angle windows on the host side of the shard_map
-        sw0s = [i * seg - M for i in range(S)]
-        pad_a = jnp.pad(noise_angle, ((M, M), (0, 0)), mode="edge")
-        angle_shards = jnp.stack(
-            [
-                jax.lax.dynamic_slice(
-                    pad_a, (s + M, 0), (seg + 2 * M, fft_bin)
-                )
-                for s in sw0s
-            ]
-        )  # [S, seg+2M, bins]
+        angle_shards = _angle_shards(noise_angle, S, seg, M, fft_bin)
         fn = shard_map(
             lambda w, t, a: shard_fn(w, t, a),
             mesh=mesh,
@@ -252,6 +281,60 @@ def time_sharded_convert(
             in_specs=(P(axis, None), P(None, None)),
             out_specs=P(axis, None),
             check_vma=False,
+        )
+        cores = fn(windows, target)
+    return cores.reshape(L)
+
+
+def time_batched_convert(
+    enc_params: Dict[str, Any],
+    dec_params: Dict[str, Any],
+    wave: jnp.ndarray,
+    target: jnp.ndarray,
+    pitch_shift: jnp.ndarray,
+    key: jax.Array,
+    cfg: TinyVCConfig,
+    shards: int = 4,
+    halo_frames: int = 96,
+    filter_halo: int = 32,
+    noise_angle: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Single-device chunked long-utterance conversion: wave [L] -> [L].
+
+    The exact overlap-save math of :func:`time_sharded_convert`, but the
+    shard axis is mapped onto the *batch* dimension of one device via
+    ``jax.vmap(axis_name=...)`` — the GRN psum, f0 all-gather, and
+    axis_index collectives resolve to intra-array ops. Two uses:
+
+    * **Exact chunked inference.** The reference parses ``--chunk-size`` /
+      ``--no-chunking`` flags but never implements chunking
+      (`infer.py:27-29,40-41` — vestigial); naive chunking would break GRN
+      statistics and harmonic phase at chunk joins. This path is chunked
+      *and* matches the no-chunking pipeline at the mel level (same
+      guarantee and tests as the mesh variant), with peak activation
+      memory bounded by the chunk size, not the utterance.
+    * **B=1 longform throughput.** A single long utterance underfills the
+      per-op dispatch pipeline (BENCH config 4 diagnosis: ~100 small ops'
+      fixed costs amortised 16x at B=16); batching ``shards`` chunks
+      recovers that amortisation at the cost of the halo recompute
+      (2*halo/seg per shard on the encoder stage, 2*(filter_halo+4)/seg
+      on the decoder stage).
+    """
+    L = wave.shape[-1]
+    axis = "tschunk"
+    windows, shard_fn, seg, M, fft_bin = _prepare_overlap_save(
+        enc_params, dec_params, wave, pitch_shift, key, cfg,
+        shards, halo_frames, filter_halo, axis,
+    )
+    windows = windows[:, None, :]  # [S, 1, win] — shard_fn expects [1, win]
+    if noise_angle is not None:
+        angle_shards = _angle_shards(noise_angle, shards, seg, M, fft_bin)
+        fn = jax.vmap(shard_fn, in_axes=(0, None, 0), axis_name=axis)
+        cores = fn(windows, target, angle_shards[:, None])
+    else:
+        fn = jax.vmap(
+            lambda w, t: shard_fn(w, t, None), in_axes=(0, None),
+            axis_name=axis,
         )
         cores = fn(windows, target)
     return cores.reshape(L)
