@@ -5,8 +5,9 @@ never uses them (`infer.py:27-29,40-41` — vestigial; whole-utterance only).
 Here chunking is REAL: ``-c/--chunk-frames N`` converts each utterance in
 exact overlap-save chunks batched on one device (GRN statistics, harmonic
 phase, and noise indexing stitched across chunk joins — mel-level identical
-to the whole-utterance mode, memory bounded by the chunk size). Default 0 =
-whole-utterance, the reference's actual behaviour.
+to the whole-utterance mode; the chunk batch amortises per-op dispatch cost
+for long single utterances). Default 0 = whole-utterance, the reference's
+actual behaviour.
 """
 
 import argparse
@@ -23,6 +24,11 @@ def main(argv=None):
     p.add_argument("-idx", "--index", default="NONE")
     p.add_argument("-t", "--target", default="target.wav")
     p.add_argument("-p", "--pitch-shift", default=0.0, type=float)
+    p.add_argument(
+        "-c", "--chunk-frames", default=0, type=int,
+        help="0 = whole-utterance; N>0 = exact overlap-save chunked "
+        "conversion in N-frame chunks (amortises dispatch for longform)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -65,7 +71,12 @@ def main(argv=None):
         wf = wf.mean(axis=0)
         if sr != cfg.audio.sample_rate:
             wf = np.asarray(resample(jnp.asarray(wf[None]), sr, cfg.audio.sample_rate))[0]
-        out = vc.convert(wf, target, args.pitch_shift)
+        if args.chunk_frames > 0:
+            out = vc.convert_chunked(
+                wf, target, args.pitch_shift, chunk_frames=args.chunk_frames
+            )
+        else:
+            out = vc.convert(wf, target, args.pitch_shift)
         name = os.path.splitext(os.path.basename(path))[0]
         save_wav(os.path.join(args.outputs, f"{name}.wav"), out, cfg.audio.sample_rate)
     print(f"done: {len(paths)} files -> {args.outputs}")

@@ -318,9 +318,10 @@ class VoiceConverter:
         as a batch on one device (`parallel/time_shard.py::
         time_batched_convert`), with GRN statistics, harmonic phase, and
         noise indexing stitched exactly — output matches the whole-utterance
-        mode at the mel level while peak activation memory is bounded by
-        the chunk size, and the chunk batch amortises per-op dispatch cost
-        for B=1 longform inputs.
+        mode at the mel level. The benefit is throughput: the chunk batch
+        amortises per-op dispatch cost for B=1 longform inputs. (It is NOT a
+        memory bound: all S chunk lanes run concurrently as batched ops, so
+        activations scale with the whole utterance plus halo recompute.)
         """
         from ..parallel.time_shard import time_batched_convert
 

@@ -311,8 +311,9 @@ def time_batched_convert(
       (`infer.py:27-29,40-41` — vestigial); naive chunking would break GRN
       statistics and harmonic phase at chunk joins. This path is chunked
       *and* matches the no-chunking pipeline at the mel level (same
-      guarantee and tests as the mesh variant), with peak activation
-      memory bounded by the chunk size, not the utterance.
+      guarantee and tests as the mesh variant). Note it is NOT a memory
+      bound: ``vmap`` runs all ``shards`` chunk lanes concurrently, so
+      activations scale with the whole utterance plus halo recompute.
     * **B=1 longform throughput.** A single long utterance underfills the
       per-op dispatch pipeline (BENCH config 4 diagnosis: ~100 small ops'
       fixed costs amortised 16x at B=16); batching ``shards`` chunks
