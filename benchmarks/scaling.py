@@ -250,18 +250,21 @@ def bench_stream_sharded(n_devices: int, n_blocks: int = 8):
 
 
 def bench_knn_only(n_devices: int, batch: int = 4, frames: int = 500,
-                   dict_n: int = 16384):
+                   dict_n: int = 16384, payload: str = "index"):
     """The sharded-kNN match ALONE (no replicated encoder/decoder around
     it): total similarity work is constant across device counts, so on the
     virtual CPU mesh the wall-time growth vs 1 device IS the
     sharding/collective overhead — the signal the full-convert row cannot
     give (there the replicated model compute dominates on shared cores).
 
-    ICI payload per frame per shard (closed form): the candidate
-    all-gather moves k*(C+1) fp32 = 4*769*4 = 12.3 kB from each shard;
-    each shard receives (S-1)*12.3 kB per frame. The dense alternative
-    all-gathers the whole dictionary once: N*C*4 bytes (= 48 MB at
-    N=16384), amortised over all frames."""
+    ICI payload per frame per shard (closed form): payload='vectors'
+    all-gathers k*(C+1) fp32 = 4*769*4 = 12.3 kB from each shard (each
+    receives (S-1)*12.3 kB per frame — measured +41 % vs dense at 8
+    virtual devices in round 3); payload='index' ships k values = 16 B
+    per shard plus one [B,T,C] ring psum ~ 2*C*4 = 6.1 kB per frame
+    TOTAL (not per shard). The dense alternative all-gathers the whole
+    dictionary once: N*C*4 bytes (= 48 MB at N=16384), amortised over
+    all frames."""
     from tinyvc_tpu.ops.retrieval import match_features
     from tinyvc_tpu.parallel import make_mesh, replicate
     from tinyvc_tpu.parallel.sharded_knn import (
@@ -288,7 +291,8 @@ def bench_knn_only(n_devices: int, batch: int = 4, frames: int = 500,
         dic = jax.device_put(dic, NamedSharding(mesh, P("model", None)))
         mask = jax.device_put(mask, NamedSharding(mesh, P("model")))
         fn = jax.jit(
-            lambda s, d, m: sharded_match_features(mesh, s, d, m)
+            lambda s, d, m: sharded_match_features(mesh, s, d, m,
+                                                   payload=payload)
         )
         dt = time_fn(fn, src, dic, mask)
     return dt * 1000.0
@@ -330,11 +334,12 @@ def main():
         base = bench_knn_only(0)
         print(json.dumps({"devices": "dense-1", "knn_ms": round(base, 2)}))
         for n in counts:
-            ms = bench_knn_only(n)
-            print(json.dumps({
-                "devices": n, "knn_ms": round(ms, 2),
-                "overhead_vs_dense": round(ms / base, 3),
-            }))
+            for payload in ("index", "vectors"):
+                ms = bench_knn_only(n, payload=payload)
+                print(json.dumps({
+                    "devices": n, "payload": payload, "knn_ms": round(ms, 2),
+                    "overhead_vs_dense": round(ms / base, 3),
+                }))
         return
 
     results = []

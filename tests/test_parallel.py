@@ -32,6 +32,36 @@ def test_sharded_knn_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), atol=1e-5)
 
 
+def test_sharded_knn_payload_variants_match(rng):
+    """The index-payload diet (all-gather values + psum of owned winners,
+    round-4) must equal both the vector-payload layout and dense, including
+    cross-shard tie behaviour (identical candidate ordering)."""
+    mesh = make_mesh(data=2, model=4)
+    B, T, N, C = 2, 24, 250, 64
+    src = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    dictionary = np.asarray(rng.standard_normal((N, C)).astype(np.float32))
+    # inject exact duplicate rows across shard boundaries to force ties
+    dictionary[200] = dictionary[10]
+    dictionary[130] = dictionary[70]
+    dictionary = jnp.asarray(dictionary)
+
+    dense = match_features(src, jnp.broadcast_to(dictionary[None], (B, N, C)), k=4)
+    padded, mask = pad_dictionary(dictionary, 4)
+    for metric in ("cos", "IP", "L2"):
+        d = match_features(
+            src, jnp.broadcast_to(dictionary[None], (B, N, C)), k=4, metric=metric
+        )
+        a = sharded_match_features(
+            mesh, src, padded, mask, k=4, metric=metric, payload="index"
+        )
+        b = sharded_match_features(
+            mesh, src, padded, mask, k=4, metric=metric, payload="vectors"
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d), atol=1e-5)
+    del dense
+
+
 def test_sharded_knn_small_dictionary(rng):
     """Dictionaries smaller than k rows/shard must still work: pad_dictionary
     guarantees >= k rows per shard and N < k raises (ADVICE round 1)."""

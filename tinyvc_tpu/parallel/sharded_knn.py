@@ -4,13 +4,24 @@ This replaces the reference's dense single-device bmm
 (`module/tinyvc/feature_retrieval.py:15-33`, explicitly warned quadratic)
 for large dictionaries: the ``[N, C]`` speaker index is sharded along N over
 the 'model' mesh axis. Each chip computes similarities against its local
-shard (one MXU matmul), takes a local top-k *with the neighbour vectors
-attached*, then the ``(values, vectors)`` candidates are all-gathered over
-the axis — k·C floats per frame per chip, riding ICI — and re-top-k'd.
-No chip ever materialises the full similarity matrix or the full dictionary.
+shard (one MXU matmul) and takes a local top-k. Two collective layouts:
 
-Padding frames in a sharded dictionary must be masked to -inf similarity by
-the caller (see :func:`pad_dictionary`).
+* ``payload='index'`` (default): all-gather only the k *similarity values*
+  per shard (k floats per frame per shard), re-top-k the S*k candidates —
+  a replicated computation, so every shard agrees on the winners — then
+  each shard sums the winning vectors it owns locally and one ``psum``
+  produces the k-mean. ICI bytes per frame: ~S*k values + ~2*C for the
+  ring psum, vs k*(C+1)*S for the vector gather — ~150x less at S=8, k=4,
+  C=768 (the round-3 scaling bench measured the vector gather at +41 %
+  overhead at 8 devices; this is the diet).
+* ``payload='vectors'``: the round-3 design — local top-k *with the
+  neighbour vectors attached*, all-gather ``(values, vectors)``, re-top-k.
+  Kept as a measured fallback (it was actually faster than dense at <= 4
+  devices) and for A/B rows in `benchmarks/scaling.py`.
+
+No chip ever materialises the full similarity matrix or the full
+dictionary. Padding frames in a sharded dictionary must be masked to -inf
+similarity by the caller (see :func:`pad_dictionary`).
 """
 
 from __future__ import annotations
@@ -44,28 +55,49 @@ def pad_dictionary(
     return dictionary, mask
 
 
-def _local_match(
-    source: jnp.ndarray,
-    dict_shard: jnp.ndarray,
-    mask_shard: jnp.ndarray,
-    k: int,
-    metric: str,
-    axis_name: str,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Runs per-shard inside shard_map.
-
-    source [B, T, C] (replicated over the axis), dict_shard [Nl, C],
-    mask_shard [Nl] -> (result [B, T, C], None).
-    """
+def _local_topk(source, dict_shard, mask_shard, k, metric):
+    """source [B, T, C], dict_shard [Nl, C], mask_shard [Nl] ->
+    (vals [B, T, k], local vecs [B, T, k, C])."""
     sims = _similarities(source, dict_shard[None], metric)[:, :, 0 : dict_shard.shape[0]]
     # mask padding rows so they can never win
     sims = jnp.where(mask_shard[None, None, :], sims, -jnp.inf)
     vals, idx = jax.lax.top_k(sims, k)  # [B, T, k]
     vecs = jnp.take(dict_shard, idx, axis=0)  # [B, T, k, C]
+    return vals, vecs
 
-    # gather candidates from every shard: [S, B, T, k(, C)]
-    all_vals = jax.lax.all_gather(vals, axis_name)
-    all_vecs = jax.lax.all_gather(vecs, axis_name)
+
+def _match_index_payload(
+    source, dict_shard, mask_shard, k, metric, axis_name
+) -> jnp.ndarray:
+    """Value-only all-gather + replicated re-top-k + psum of owned winners."""
+    vals, vecs = _local_topk(source, dict_shard, mask_shard, k, metric)
+    B, T = vals.shape[0], vals.shape[1]
+
+    all_vals = jax.lax.all_gather(vals, axis_name)  # [S, B, T, k] — k floats/frame/shard
+    S = all_vals.shape[0]
+    cand_vals = jnp.moveaxis(all_vals, 0, 2).reshape(B, T, S * k)
+    # replicated over the axis: every shard computes identical winners
+    # (same candidate order as the vector-payload path -> same tie behaviour)
+    _, top_idx = jax.lax.top_k(cand_vals, k)  # [B, T, k] in [0, S*k)
+    winner_shard = top_idx // k
+    winner_slot = top_idx % k
+    me = jax.lax.axis_index(axis_name)
+    mine = (winner_shard == me)[..., None]  # [B, T, k, 1]
+    # my candidates that won, fetched from the LOCAL vec cache (no cross-
+    # shard vector traffic); losers contribute zero and psum fills them in
+    sel = jnp.take_along_axis(vecs, winner_slot[..., None], axis=2)  # [B, T, k, C]
+    contrib = jnp.sum(jnp.where(mine, sel, 0.0), axis=2)  # [B, T, C]
+    total = jax.lax.psum(contrib, axis_name)  # ~2*C floats/frame ring traffic
+    return (total / k).astype(source.dtype)
+
+
+def _match_vector_payload(
+    source, dict_shard, mask_shard, k, metric, axis_name
+) -> jnp.ndarray:
+    """Round-3 layout: all-gather (values, vectors) candidates, re-top-k."""
+    vals, vecs = _local_topk(source, dict_shard, mask_shard, k, metric)
+    all_vals = jax.lax.all_gather(vals, axis_name)  # [S, B, T, k]
+    all_vecs = jax.lax.all_gather(vecs, axis_name)  # [S, B, T, k, C]
     S = all_vals.shape[0]
     B, T = vals.shape[0], vals.shape[1]
     C = vecs.shape[-1]
@@ -84,16 +116,18 @@ def sharded_match_features(
     k: int = 4,
     alpha: float = 0.0,
     metric: str = "cos",
+    payload: str = "index",
 ) -> jnp.ndarray:
     """source [B, T, C] (B over 'data'), dictionary [N, C] (N over 'model',
     pre-padded to a multiple of the axis size), mask [N] -> [B, T, C]."""
+    impl = {"index": _match_index_payload, "vectors": _match_vector_payload}[payload]
     fn = shard_map(
-        partial(_local_match, k=k, metric=metric, axis_name="model"),
+        partial(impl, k=k, metric=metric, axis_name="model"),
         mesh=mesh,
         in_specs=(P("data", None, None), P("model", None), P("model")),
         out_specs=P("data", None, None),
-        # the all-gather + re-top-k output is replicated over 'model' by
-        # construction; the static checker cannot prove it
+        # the re-top-k'd output is replicated over 'model' by construction
+        # (all-gather + psum); the static checker cannot prove it
         check_vma=False,
     )
     result = fn(source, dictionary, mask)
