@@ -25,7 +25,16 @@ def main(argv=None):
         "--remat", action="store_true",
         help="recompute U-Net activations in backward (fit bigger batches)",
     )
+    p.add_argument("--coordinator-address", default=None,
+                   help="multi-host: host:port of process 0 (jax.distributed)")
+    p.add_argument("--num-processes", default=None, type=int)
+    p.add_argument("--process-id", default=None, type=int)
     args = p.parse_args(argv)
+
+    from ..parallel import init_distributed
+
+    # must run before any other JAX use so the backend sees the cluster
+    init_distributed(args.coordinator_address, args.num_processes, args.process_id)
 
     from ..config import TinyVCConfig
     from ..train.loop import train_decoder

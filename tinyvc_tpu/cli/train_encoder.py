@@ -18,7 +18,16 @@ def main(argv=None):
     p.add_argument("-b", "--batch-size", default=16, type=int)
     p.add_argument("--log-interval", default=50, type=int)
     p.add_argument("--log-dir", default="./logs")
+    p.add_argument("--coordinator-address", default=None,
+                   help="multi-host: host:port of process 0 (jax.distributed)")
+    p.add_argument("--num-processes", default=None, type=int)
+    p.add_argument("--process-id", default=None, type=int)
     args = p.parse_args(argv)
+
+    from ..parallel import init_distributed
+
+    # must run before any other JAX use so the backend sees the cluster
+    init_distributed(args.coordinator_address, args.num_processes, args.process_id)
 
     from ..config import TinyVCConfig
     from ..train.loop import train_encoder

@@ -4,6 +4,7 @@ from .mesh import (
     batch_sharding,
     dict_sharding,
     init_distributed,
+    local_batch_size,
     make_mesh,
     replicate,
     replicated,
@@ -15,6 +16,7 @@ __all__ = [
     "batch_sharding",
     "dict_sharding",
     "init_distributed",
+    "local_batch_size",
     "make_mesh",
     "replicate",
     "replicated",

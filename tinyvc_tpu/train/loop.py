@@ -19,7 +19,7 @@ from ..config import TinyVCConfig
 from ..data.dataset import DataLoader, Dataset
 from ..data.noise import NoiseGenerator
 from ..dsp.resample import resample
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import local_batch_size, make_mesh, replicate, shard_batch
 from ..utils.checkpoint import CheckpointManager
 from ..utils.metrics import (
     TAG_D_ADV,
@@ -37,6 +37,14 @@ from .teacher import CachedTeacher, make_teacher
 
 def _mesh_or_none(batch_size: int):
     n = len(jax.devices())
+    if jax.process_count() > 1:
+        # multi-controller MUST run the sharded path on every process
+        if batch_size % n:
+            raise ValueError(
+                f"multi-host training needs global batch ({batch_size}) "
+                f"divisible by the global device count ({n})"
+            )
+        return make_mesh(data=n, model=1)
     if n > 1 and batch_size % n == 0:
         return make_mesh(data=n, model=1)
     if n > 1:
@@ -51,13 +59,19 @@ def _make_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
     """Prefer the native C++ prefetch loader (endless shuffled stream);
     fall back to the Python DataLoader. Set TINYVC_NO_NATIVE_LOADER=1 to
     force the Python loader (needed for index-aware batching, e.g. cached
-    teacher features)."""
+    teacher features).
+
+    Multi-controller: each process's loader draws only its share of the
+    global batch (``local_batch_size``), with a per-process shuffle seed;
+    ``shard_batch`` assembles the global array from the local rows."""
     import os as _os
 
+    batch = local_batch_size(cfg.train.batch_size)
+    seed = seed + 7919 * jax.process_index()
     ds = Dataset(dataset_dir)
     f0_len = cfg.train.chunk_length // cfg.audio.hop_size
     if _os.environ.get("TINYVC_NO_NATIVE_LOADER"):
-        dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+        dl = DataLoader(ds, batch, shuffle=True, seed=seed)
 
         def epochs_iter_py():
             while True:
@@ -70,13 +84,13 @@ def _make_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
         loader = NativePrefetchLoader(
             dataset_dir,
             len(ds),
-            cfg.train.batch_size,
+            batch,
             chunk_len=cfg.train.chunk_length,
             f0_len=f0_len,
             sample_rate=cfg.audio.sample_rate,
             seed=seed,
         )
-        steps_per_epoch = max(len(ds) // cfg.train.batch_size, 1)
+        steps_per_epoch = max(len(ds) // batch, 1)
 
         def epochs_iter():
             while True:
@@ -85,7 +99,7 @@ def _make_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
         print("[tinyvc_tpu] using native prefetch loader")
         return epochs_iter(), len(ds)
     except Exception:
-        dl = DataLoader(ds, cfg.train.batch_size, shuffle=True, seed=seed)
+        dl = DataLoader(ds, batch, shuffle=True, seed=seed)
 
         def epochs_iter():
             while True:
