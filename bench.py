@@ -254,6 +254,38 @@ def main():
         rtf4 = convert_rtf(B=1, seconds=60.0, pitch=12.0, iters=8)
         log("config4_longform_p12_rtf", rtf4, "audio-s/s")
 
+    if wanted("4c"):
+        # ---- config 4 chunked: the same 60 s utterance through the exact
+        # overlap-save chunk batch (cli/infer.py -c; VERDICT r3 missing #3:
+        # built to amortise config 4's ~100 small ops' fixed costs at B=1,
+        # never measured on chip until round 4) ----
+        from tinyvc_tpu.parallel.time_shard import time_batched_convert
+
+        L4 = int(60.0 * sr) // hop * hop
+        wave4 = jnp.asarray(
+            rng.standard_normal((L4,)).astype(np.float32) * 0.1
+        )
+        S4 = 6  # 3000 frames -> 6 chunks x 500 frames (~chunk_frames 512)
+
+        def make_chunk_loop():
+            @jax.jit
+            def loop(n, enc_p, dec_p, wave, target, key):
+                def body(i, carry):
+                    out = time_batched_convert(
+                        enc_p, dec_p, wave + carry * 1e-20, target,
+                        jnp.float32(12.0), jax.random.fold_in(key, i), cfg,
+                        shards=S4, halo_frames=96, filter_halo=32,
+                    )
+                    return jnp.mean(out)
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            return loop
+
+        dt = timed(make_chunk_loop, (enc_params, dec_params, wave4, target, key),
+                   iters=min(8, base_iters))
+        log("config4_chunked_rtf", L4 / sr / dt, "audio-s/s")
+
     if wanted("5"):
         # ---- config 5: streaming per-block latency (carried state) ----
         import dataclasses

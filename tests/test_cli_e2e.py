@@ -79,6 +79,7 @@ def test_infer_cli_chunked_flag(pt_checkpoints, tmp_path, rng):
     assert np.isfinite(out).all() and np.abs(out).max() > 0
 
 
+@pytest.mark.slow
 def test_streaming_cli_file_mode(pt_checkpoints, tmp_path, rng):
     from tinyvc_tpu.cli.infer_streaming import main
     from tinyvc_tpu.utils.audio_io import load_audio, save_wav

@@ -105,6 +105,7 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_export_stablehlo_roundtrip(tmp_path, rng):
     from tests.test_training import small_config
     from tinyvc_tpu.infer.export import export_all, load_exported

@@ -1,6 +1,7 @@
 """Discriminator parity vs the reference (weight transfer) + loss parity."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ from tinyvc_tpu.train.losses import (
 from tinyvc_tpu.utils.torch_compat_disc import discriminator_params_from_torch
 
 
+@pytest.mark.slow
 def test_discriminator_forward_parity(rng):
     torch.manual_seed(5)
     ref = RefDiscriminator().eval()
@@ -72,6 +74,46 @@ def test_discriminator_forward_parity(rng):
         np.testing.assert_allclose(
             as_nchw(a, np.asarray(b)), np.asarray(b), atol=2e-5
         )
+
+
+def test_mrd_xres_lowering_matches_lax(rng):
+    """'xres' (cross-resolution canvas batching, one vmapped conv per MRD
+    layer) must equal 'lax' exactly — incl. the masked invalid regions and
+    both quirk modes (VERDICT r3 item 7)."""
+    import dataclasses
+
+    import jax
+
+    torch.manual_seed(6)
+    ref = RefDiscriminator().eval()
+    params = {"params": discriminator_params_from_torch(ref.state_dict())}
+    x = jnp.asarray((rng.standard_normal((2, 8000)) * 0.3).astype(np.float32))
+
+    for fixed in (False, True):
+        base = dataclasses.replace(
+            DiscriminatorConfig(), mrd_fixed_activation=fixed
+        )
+        lax_logits, lax_feats = Discriminator(base).apply(params, x)
+        xres_cfg = dataclasses.replace(base, mrd_conv_impl="xres")
+        xres_logits, xres_feats = Discriminator(xres_cfg).apply(params, x)
+        assert len(xres_logits) == len(lax_logits)
+        assert len(xres_feats) == len(lax_feats)
+        for a, b in zip(xres_logits, lax_logits):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        for a, b in zip(xres_feats, lax_feats):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # the param tree is impl-invariant: init under 'xres' == init under 'lax'
+    k = jax.random.PRNGKey(0)
+    p_lax = Discriminator(DiscriminatorConfig()).init(k, x[:1, :4000])
+    p_xres = Discriminator(
+        dataclasses.replace(DiscriminatorConfig(), mrd_conv_impl="xres")
+    ).init(k, x[:1, :4000])
+    assert jax.tree_util.tree_structure(p_lax) == jax.tree_util.tree_structure(
+        p_xres
+    )
 
 
 def test_lsgan_and_feature_losses(rng):

@@ -6,6 +6,10 @@ The parameter tree is identical to the channels-last form, so the two
 layouts must agree to float rounding — forward, DSP source, and gradients.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long tier; quick tier: -m "not slow"
+
 import numpy as np
 
 import jax

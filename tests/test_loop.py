@@ -1,5 +1,9 @@
 """End-to-end training-loop smoke tests on a tiny synthetic cache."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long tier; quick tier: -m "not slow"
+
 import os
 
 import numpy as np

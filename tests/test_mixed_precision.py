@@ -6,6 +6,10 @@ enforces the documented bound: mel deviation within 3x the fp32 baseline
 and below an absolute ceiling.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long tier; quick tier: -m "not slow"
+
 import math
 
 import numpy as np

@@ -10,6 +10,10 @@ Validation ladder:
 4. post-join GAN train-step gradients: fused MRD vs lax MRD
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long tier; quick tier: -m "not slow"
+
 import dataclasses
 
 import numpy as np

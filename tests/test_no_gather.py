@@ -14,6 +14,10 @@ shifted-slice overlap-adds, stream ring-buffer slice updates) pass the
 classifier by construction.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long tier; quick tier: -m "not slow"
+
 import dataclasses
 
 import numpy as np

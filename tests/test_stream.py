@@ -4,6 +4,7 @@ algorithm (replicated with torch primitives) and continuity behaviour."""
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as TF
 
@@ -148,6 +149,7 @@ def test_stream_converter_runs_and_is_continuous(rng):
     assert sc.latency_samples > 0
 
 
+@pytest.mark.slow
 def test_stream_converter_sharded_knn_matches_dense(rng):
     """Streaming with the kNN dictionary sharded over the 'model' axis
     (BASELINE config 5) must produce the same blocks as the dense path."""

@@ -12,6 +12,10 @@ Guarantees verified:
    edge frames.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long tier; quick tier: -m "not slow"
+
 import numpy as np
 
 import jax

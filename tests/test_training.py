@@ -1,6 +1,7 @@
 """Train-step tests: loss decreases, CE semantics, GAN phases both compile."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as TF
 
@@ -126,6 +127,7 @@ def test_torch_matching_init_distributions(rng):
     )
 
 
+@pytest.mark.slow
 def test_tiny_gan_50_steps_trains_both_players(rng):
     """~50 post-join steps on a fixed batch: the generator's reconstruction
     improves and the discriminator beats its untrained loss — from-scratch
@@ -162,6 +164,7 @@ def test_tiny_gan_50_steps_trains_both_players(rng):
         assert np.isfinite(v).all(), k
 
 
+@pytest.mark.slow
 def test_remat_gan_step_matches_standard(rng):
     """decoder.remat recomputes U-Net activations under grad; the step must
     be bit-compatible with the standard step (same params tree, same losses,
@@ -209,6 +212,7 @@ def test_remat_gan_step_matches_standard(rng):
         )
 
 
+@pytest.mark.slow
 def test_fused_gan_step_matches_standard(rng):
     """The fused-kernel training path (Pallas fwd + custom_vjp bwd kernels,
     interpret mode on CPU) must track the flax/XLA step: same losses to
@@ -243,6 +247,7 @@ def test_fused_gan_step_matches_standard(rng):
         assert abs(la - lb) < 0.05 * abs(la) + 1e-3, (i, la, lb)
 
 
+@pytest.mark.slow
 def test_manual_vjp_post_join_matches_naive(rng):
     """The single-disc-forward manual-vjp post-join step must produce the
     SAME updated parameters and losses as the plain two-value_and_grad

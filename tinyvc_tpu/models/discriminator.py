@@ -18,6 +18,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..config import DiscriminatorConfig
@@ -355,6 +356,142 @@ class DiscriminatorR(nn.Module):
         return outs[-1], list(outs)
 
 
+class _MRDWeights(nn.Module):
+    """Parameter container scoped ``mrd_{r}``: creates the same
+    ``conv_0..conv_n, post`` WNConv2dWeights children as DiscriminatorR, so
+    the param tree (and checkpoints) are identical across lowerings. Returns
+    the effective (HWIO weight, bias) per layer."""
+
+    channels: int
+    max_channels: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self):
+        specs = _mrd_layer_specs(self.channels, self.max_channels, self.num_layers)
+        out = []
+        for name, (kh, kw), _, _, cin, cout in specs:
+            out.append(
+                WNConv2dWeights(cout, (kh, kw), name=name)(cin)
+            )
+        return out
+
+
+def _mrd_layer_specs(channels: int, max_channels: int, num_layers: int):
+    """(name, kernel, strides, padding, cin, cout) for every MRD conv —
+    the single source of truth shared by DiscriminatorR and CrossResMRD
+    (reference `discriminator.py:80-89`)."""
+    specs = [("conv_0", (7, 3), (2, 1), (3, 1), 1, channels)]
+    c = channels
+    for i in range(num_layers):
+        cn = min(c * 2, max_channels)
+        specs.append((f"conv_{i + 1}", (5, 3), (2, 1), (2, 1), c, cn))
+        c = cn
+    specs.append(("post", (3, 3), (1, 1), (1, 1), c, 1))
+    return specs
+
+
+def cross_res_mrd_apply(
+    x: jnp.ndarray,
+    wb,
+    resolutions: Sequence[int],
+    channels: int = 32,
+    max_channels: int = 256,
+    num_layers: int = 4,
+    fixed_activation: bool = False,
+    compute_dtype: str = "float32",
+):
+    """All MRD resolutions batched per layer: ONE vmapped NCHW conv per
+    layer over a zero-padded ``[R, B, C, H_max, W_max]`` canvas stack
+    (24 -> 6 conv dispatches for 4 resolutions x 6 layers; VERDICT r3 item
+    7 — dispatch, not MACs, is the measured MRD cost at ~2 % MXU).
+
+    Exactness: the MRD convs zero-pad, so placing each resolution's map
+    top-left on a zeroed canvas reproduces its padding for free — but conv
+    bias makes invalid output positions nonzero, so each layer multiplies
+    by a static mask that re-zeroes beyond each resolution's valid
+    ``(H_rl, W_r)`` (the phantom-value failure of the effective-kernel
+    dead-end, solved by 6 cheap fused elementwise masks). Outputs are
+    sliced back per resolution: logits/fmaps match DiscriminatorR's 'lax'
+    lowering exactly, losses and checkpoints need no changes.
+
+    ``wb``: per-resolution lists of (HWIO weight, bias) from
+    :class:`_MRDWeights` — created in the caller's flax scope so the param
+    tree stays ``mrd_{r}/conv_i`` (checkpoint-identical to DiscriminatorR).
+
+    x: [B, T] waveform -> (list of logits, list of per-resolution fmap
+    lists).
+    """
+    specs = _mrd_layer_specs(channels, max_channels, num_layers)
+    R = len(resolutions)
+
+    # per-resolution spectrograms, zero-padded onto the shared canvas
+    hs, ws = [], []
+    planes = []
+    for r in resolutions:
+        spec = stft_magnitude(x, r * 4, r, drop_first=False)  # [B, W_r, H_r]
+        plane = jnp.swapaxes(spec, 1, 2)[:, None]  # [B, 1, H_r, W_r]
+        hs.append(plane.shape[2])
+        ws.append(plane.shape[3])
+        planes.append(plane)
+    H, W = max(hs), max(ws)
+    stack = jnp.stack(
+        [
+            jnp.pad(p, ((0, 0), (0, 0), (0, H - p.shape[2]), (0, W - p.shape[3])))
+            for p in planes
+        ]
+    )  # [R, B, 1, H, W]
+
+    dt = jnp.dtype(compute_dtype)
+    valid = [list(zip(hs, ws))]  # per layer: [(H_rl, W_r)] per resolution
+    fmaps_stacked = []
+    for li, (name, (kh, kw), (sh, sw), (ph, pw), cin, cout) in enumerate(specs):
+        w_l = jnp.stack([wb[r][li][0] for r in range(R)])  # [R,kh,kw,cin,cout]
+        b_l = jnp.stack([wb[r][li][1] for r in range(R)])  # [R,cout]
+        if dt != jnp.float32:
+            stack, w_l, b_l = (
+                stack.astype(dt), w_l.astype(dt), b_l.astype(dt)
+            )
+
+        def conv_one(xx, ww, sh=sh, sw=sw, ph=ph, pw=pw):
+            return jax.lax.conv_general_dilated(
+                xx,
+                ww.transpose(3, 2, 0, 1),
+                window_strides=(sh, sw),
+                padding=[(ph, ph), (pw, pw)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+
+        stack = jax.vmap(conv_one)(stack, w_l)
+        stack = stack + b_l[:, None, :, None, None]
+        if fixed_activation and li < len(specs) - 1:  # no activation on post
+            stack = nn.leaky_relu(stack, 0.1)
+        # valid sizes after this layer, per resolution and for the canvas
+        valid.append(
+            [
+                ((h + 2 * ph - kh) // sh + 1, (w + 2 * pw - kw) // sw + 1)
+                for (h, w) in valid[-1]
+            ]
+        )
+        Hc, Wc = stack.shape[-2], stack.shape[-1]
+        mask = np.zeros((R, 1, 1, Hc, Wc), np.float32)
+        for r, (hv, wv) in enumerate(valid[-1]):
+            mask[r, :, :, :hv, :wv] = 1.0
+        stack = stack * jnp.asarray(mask, dtype=stack.dtype)
+        fmaps_stacked.append(stack)
+
+    logits, fmaps = [], []
+    for r in range(R):
+        per_res = [
+            s[r, :, :, :hv, :wv]
+            for s, layer_valid in zip(fmaps_stacked, valid[1:])
+            for (hv, wv) in [layer_valid[r]]
+        ]
+        logits.append(per_res[-1])
+        fmaps.append(per_res)
+    return logits, fmaps
+
+
 def fused_mrd_valid_counts(cfg: DiscriminatorConfig, T: int):
     """Static (logit_counts, fmap_counts) aligned with Discriminator's
     output lists when ``mrd_conv_impl == 'fused'``: MPD entries are None
@@ -398,6 +535,31 @@ class Discriminator(nn.Module):
             )(x)
             logits.append(logit)
             feats.extend(fmap)
+        if self.cfg.mrd_conv_impl == "xres":
+            # cross-resolution batching: one conv dispatch per layer over
+            # all resolutions; weights created HERE so the param tree stays
+            # mrd_{r}/conv_i (checkpoint-identical to the other lowerings)
+            wb = [
+                _MRDWeights(
+                    self.cfg.channels, self.cfg.max_channels,
+                    self.cfg.num_layers, name=f"mrd_{r}",
+                )()
+                for r in self.cfg.resolutions
+            ]
+            mrd_logits, mrd_fmaps = cross_res_mrd_apply(
+                x,
+                wb,
+                self.cfg.resolutions,
+                channels=self.cfg.channels,
+                max_channels=self.cfg.max_channels,
+                num_layers=self.cfg.num_layers,
+                fixed_activation=self.cfg.mrd_fixed_activation,
+                compute_dtype=self.cfg.compute_dtype,
+            )
+            for logit, fmap in zip(mrd_logits, mrd_fmaps):
+                logits.append(logit)
+                feats.extend(fmap)
+            return logits, feats
         for r in self.cfg.resolutions:
             logit, fmap = DiscriminatorR(
                 r,

@@ -1009,13 +1009,20 @@ def _spill_add(g_core, gl, gr, T):
             )
         )
     g = g4.reshape(B, C, Ta)
-    # sequence edges: fold the outer bands (and any alignment overhang)
-    g = g.at[:, :, 0].add(jnp.sum(gl4[:, :, 0], axis=-1))
+    # sequence edges: fold the outer bands (and any alignment overhang).
+    # pad-based adds, not .at[].add — a single-position DUS still lowers to
+    # a full-tensor copy, while XLA fuses these pads into one add pass
+    # (VERDICT r3 item 6 / NOTES lever #1)
+    head = jnp.sum(gl4[:, :, 0], axis=-1)
     tail = jnp.sum(gr4[:, :, -1], axis=-1)
     if Ta > T:
         tail = tail + jnp.sum(g[:, :, T:], axis=-1)
         g = g[:, :, :T]
-    return g.at[:, :, T - 1].add(tail)
+    return (
+        g
+        + jnp.pad(head[:, :, None], ((0, 0), (0, 0), (0, T - 1)))
+        + jnp.pad(tail[:, :, None], ((0, 0), (0, 0), (T - 1, 0)))
+    )
 
 
 @functools.partial(

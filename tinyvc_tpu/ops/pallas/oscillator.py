@@ -376,12 +376,21 @@ def _pallas_backward_amps(
     # transpose of the edge-clamped (prev, cur, next) shifts:
     # frame p receives cur[p], prev[p+1] (it was frame p+1's "prev") and
     # next[p-1]; the clamped edges fold back onto frames 0 / F-1.
-    damps = cur_c
-    damps = damps.at[:, :-1].add(prev_c[:, 1:])
-    damps = damps.at[:, 0].add(prev_c[:, 0])
-    damps = damps.at[:, 1:].add(next_c[:, :-1])
-    damps = damps.at[:, -1].add(next_c[:, -1])
-    return damps
+    # pad-based shifted adds, not .at[].add: the slice DUS forms copy the
+    # whole tensor per update, the pads fuse into ONE add pass (VERDICT r3
+    # item 6)
+    Fn = cur_c.shape[1]
+
+    def padf(v, lo, hi):
+        return jnp.pad(v, ((0, 0), (lo, hi), (0, 0)))
+
+    return (
+        cur_c
+        + padf(prev_c[:, 1:], 0, 1)          # frame p += prev[p+1]
+        + padf(prev_c[:, :1], 0, Fn - 1)     # clamped edge -> frame 0
+        + padf(next_c[:, :-1], 1, 0)         # frame p += next[p-1]
+        + padf(next_c[:, -1:], Fn - 1, 0)    # clamped edge -> frame F-1
+    )
 
 
 # Differentiation: pallas_call has no JVP/transpose rules, so the GAN

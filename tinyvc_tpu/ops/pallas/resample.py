@@ -308,14 +308,17 @@ def _up_bwd(factor, t_blk, interpret, out_len, xshape, g):
         interpret=interpret,
     )(gp, jnp.asarray(M))
     gx = out[:, :, :Tq]
-    # sequence-edge clamp fan-in (tiny static einsums)
-    gx = gx.at[:, :, 0].add(
-        jnp.einsum("bcl,l->bc", g[:, :, :f].astype(jnp.float32),
-                   jnp.asarray(corr_l))
-    )
-    gx = gx.at[:, :, Tq - 1].add(
-        jnp.einsum("bcl,l->bc", g[:, :, out_len - f :].astype(jnp.float32),
-                   jnp.asarray(corr_r))
+    # sequence-edge clamp fan-in (tiny static einsums); pad-based adds —
+    # a single-position .at[].add DUS copies the whole tensor, the pads
+    # fuse into one add pass (VERDICT r3 item 6)
+    e0 = jnp.einsum("bcl,l->bc", g[:, :, :f].astype(jnp.float32),
+                    jnp.asarray(corr_l))
+    e1 = jnp.einsum("bcl,l->bc", g[:, :, out_len - f :].astype(jnp.float32),
+                    jnp.asarray(corr_r))
+    gx = (
+        gx
+        + jnp.pad(e0[:, :, None], ((0, 0), (0, 0), (0, Tq - 1)))
+        + jnp.pad(e1[:, :, None], ((0, 0), (0, 0), (Tq - 1, 0)))
     )
     return (gx.astype(g.dtype),)
 

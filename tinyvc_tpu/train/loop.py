@@ -142,6 +142,9 @@ def train_encoder(
 
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
+    # host-side step mirror (see train_decoder: per-step int(state.step)
+    # fetches sync the dispatch pipeline through the relay)
+    step = int(state.step)
     for epoch in range(epochs):
         for batch in next(epochs_iter):
             wave, f0 = batch["wave"], batch["f0"]
@@ -174,7 +177,7 @@ def train_encoder(
             state, metrics = step_fn(
                 state, args["wave"], args["f0"], args["teacher"], sub
             )
-            step = int(state.step)
+            step += 1
             if step % cfg.train.log_interval == 0:
                 writer.write(
                     step,
@@ -246,9 +249,14 @@ def train_decoder(
 
     t0 = time.time()
     done = False
+    # host-side mirror of state.step: `int(state.step)` is a device->host
+    # fetch (multi-ms through a relay) and forces a sync EVERY step, which
+    # also stops the async dispatch pipeline from hiding the batch upload.
+    # Fetch once here; log-interval metric fetches re-sync periodically.
+    step = int(state.step)
+    t_log, s_log = t0, step
     while not done:
         for batch in next(epochs_iter):
-            step = int(state.step)
             if step >= max_steps:
                 done = True
                 break
@@ -259,7 +267,7 @@ def train_decoder(
             if mesh is not None:
                 wave = shard_batch(wave, mesh)
             state, metrics = fn(state, enc_params, wave, sub)
-            step = int(state.step)
+            step += 1
             if step % cfg.train.log_interval == 0:
                 scalars = {
                     TAG_SPEC: metrics["loss_spec"],
@@ -270,11 +278,14 @@ def train_decoder(
                     scalars[TAG_FEAT] = metrics["loss_feat"]
                     scalars[TAG_D_ADV] = metrics["loss_d"]
                 writer.write(step, scalars)
+                now = time.time()
+                sps = (step - s_log) / max(now - t_log, 1e-9)
+                t_log, s_log = now, step
                 print(
                     f"step {step} spec={float(metrics['loss_spec']):.4f} "
                     f"dsp={float(metrics['loss_dsp']):.4f} "
                     + (f"d={float(metrics['loss_d']):.4f} " if d_join else "")
-                    + f"({time.time() - t0:.0f}s)"
+                    + f"({sps:.1f} steps/s, {now - t0:.0f}s)"
                 )
             if step % cfg.train.save_interval == 0:
                 ckpt.save(step, jax.device_get(state), cfg)
