@@ -55,7 +55,7 @@ def mel_spectrogram(
     n_mels: int = 80,
 ) -> jnp.ndarray:
     """wave ``[B, L]`` -> power mel ``[B, F, n_mels]`` (F = L//hop + 1)."""
-    mag = stft_magnitude(wave, n_fft, hop, drop_first=False)
+    mag = stft_magnitude(wave, n_fft, hop, drop_first=False, grad_safe=True)
     power = mag * mag
     fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
     return power @ fb

@@ -70,10 +70,40 @@ def stft(
     return jnp.fft.rfft(frames, axis=-1)
 
 
+_MAG_EPS = 1e-24  # inside the sqrt: shifts magnitudes by <= 1e-12 absolute
+
+
+def _safe_magnitude(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(re^2 + im^2 + eps): gradient-safe at silence.
+
+    The bare sqrt's gradient is re/|y|. TPUs flush subnormals to zero, so a
+    quiet frame with |re|,|im| < ~1e-19 squares to EXACT zero and the
+    gradient is re/0 = inf — one silent-learned frame then NaNs the whole
+    step through clip_by_global_norm (round-4 burn-in: all 4.66M generator
+    params NaN'd between steps 10-30, TPU-only, exactly when the dsp loss
+    got small; confirmed by per-subtree grad instrumentation — filter_net
+    AND source_net went nonfinite in the same step while both losses were
+    still finite). CPU honours subnormals, which is why the parity suite
+    never sees it. The reference hits the same class of issue and zeroes
+    NaN/Inf magnitudes after the fact (`module/utils/loss.py:32-35`); an
+    epsilon inside the sqrt fixes the gradient itself.
+
+    Used at GRADIENT-BEARING magnitude sites only (training losses,
+    discriminator spectrograms): the serving/encoder-input `spectrogram`
+    keeps the exact bare magnitude — no gradients flow there, and the
+    ~1e-12 shift is enough to flip a kNN neighbour on near-tied frames
+    (the retrieval path is deliberately bit-stable)."""
+    return jnp.sqrt(re * re + im * im + _MAG_EPS)
+
+
 def stft_magnitude(
-    x: jnp.ndarray, n_fft: int, hop: int, drop_first: bool = False
+    x: jnp.ndarray, n_fft: int, hop: int, drop_first: bool = False,
+    grad_safe: bool = False,
 ) -> jnp.ndarray:
-    return jnp.abs(stft(x, n_fft, hop, drop_first=drop_first))
+    y = stft(x, n_fft, hop, drop_first=drop_first)
+    if grad_safe:
+        return _safe_magnitude(jnp.real(y), jnp.imag(y))
+    return jnp.abs(y)
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,7 +144,7 @@ def stft_magnitude_matmul(
     )
     bins = n_fft // 2 + 1
     re, im = y[..., :bins], y[..., bins:]
-    return jnp.sqrt(re * re + im * im)
+    return _safe_magnitude(re, im)
 
 
 def spectrogram(x: jnp.ndarray, n_fft: int = 1920, hop: int = 480) -> jnp.ndarray:

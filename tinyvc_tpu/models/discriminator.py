@@ -270,7 +270,8 @@ class DiscriminatorR(nn.Module):
         """x: [B, T] waveform -> (logits, feature maps)."""
         n_fft = self.resolution * 4
         # fp32 spectrogram, frame 0 kept (torch.stft default, `discriminator.py:91-96`)
-        spec = stft_magnitude(x, n_fft, self.resolution, drop_first=False)
+        spec = stft_magnitude(x, n_fft, self.resolution, drop_first=False,
+                              grad_safe=True)
         if self.conv_impl == "fused":
             return self._fused(spec, x.shape[-1])
         # torch layout is [B, bins, frames]; ours [B, frames, bins]. Bins are
@@ -429,7 +430,8 @@ def cross_res_mrd_apply(
     hs, ws = [], []
     planes = []
     for r in resolutions:
-        spec = stft_magnitude(x, r * 4, r, drop_first=False)  # [B, W_r, H_r]
+        spec = stft_magnitude(x, r * 4, r, drop_first=False,
+                              grad_safe=True)  # [B, W_r, H_r]
         plane = jnp.swapaxes(spec, 1, 2)[:, None]  # [B, 1, H_r, W_r]
         hs.append(plane.shape[2])
         ws.append(plane.shape[3])

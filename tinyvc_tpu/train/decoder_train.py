@@ -46,14 +46,25 @@ class GanTrainState:
 
 
 def make_optimizers(cfg: TinyVCConfig):
+    # apply_if_finite: one inf/NaN gradient otherwise poisons the step
+    # PERMANENTLY (clip_by_global_norm turns a single inf into NaN for
+    # every parameter); skipping the bad step and counting it is the
+    # production behaviour. The reference's analogue is zeroing NaN
+    # magnitudes in the loss (`module/utils/loss.py:32-35`); the root
+    # cause found in round 4 (subnormal-flush -> sqrt(0) gradients) is
+    # fixed at the source in dsp/stft.py::_safe_magnitude — this guard
+    # covers the class, and `notfinite_count` surfaces any recurrence.
     def tx():
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.train.grad_clip),
-            optax.adamw(
-                cfg.train.learning_rate,
-                b1=cfg.train.adam_betas_gan[0],
-                b2=cfg.train.adam_betas_gan[1],
+        return optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(cfg.train.grad_clip),
+                optax.adamw(
+                    cfg.train.learning_rate,
+                    b1=cfg.train.adam_betas_gan[0],
+                    b2=cfg.train.adam_betas_gan[1],
+                ),
             ),
+            max_consecutive_errors=50,
         )
 
     return tx(), tx()
@@ -95,6 +106,7 @@ def make_train_step(
     d_join: bool,
     spec_loss_type: str = "ms-stft",
     naive_post_join: bool = False,
+    debug_grads: bool = False,
 ):
     """Returns a jittable (state, enc_params, wave, key) -> (state, metrics).
 
@@ -209,11 +221,23 @@ def make_train_step(
             (loss_g, metrics), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True
             )(state.gen_params)
+            if debug_grads:  # per-subtree nonfinite counts + grad maxima
+                for name, sub in g_grads["params"].items():
+                    ls = jax.tree.leaves(sub)
+                    metrics[f"nonfinite/{name}"] = sum(
+                        jnp.sum(~jnp.isfinite(x)) for x in ls
+                    )
+                    metrics[f"gmax/{name}"] = jnp.max(
+                        jnp.asarray(
+                            [jnp.max(jnp.abs(jnp.nan_to_num(x))) for x in ls]
+                        )
+                    )
             g_updates, gen_opt = gtx.update(
                 g_grads, state.gen_opt, state.gen_params
             )
             gen_params = optax.apply_updates(state.gen_params, g_updates)
             metrics["loss_g"] = loss_g
+            metrics["skipped_g"] = gen_opt.notfinite_count
             return GanTrainState(
                 gen_params=gen_params,
                 disc_params=state.disc_params,
@@ -281,6 +305,7 @@ def make_train_step(
             )
             disc_params = optax.apply_updates(state.disc_params, d_updates)
             metrics["loss_d"] = loss_d
+            metrics["skipped_d"] = disc_opt.notfinite_count
             return GanTrainState(
                 gen_params=gen_params,
                 disc_params=disc_params,
@@ -365,6 +390,8 @@ def make_train_step(
         )
         disc_params = optax.apply_updates(state.disc_params, d_updates)
         metrics["loss_d"] = loss_d
+        metrics["skipped_g"] = gen_opt.notfinite_count
+        metrics["skipped_d"] = disc_opt.notfinite_count
 
         return GanTrainState(
             gen_params=gen_params,

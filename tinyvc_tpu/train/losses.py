@@ -9,6 +9,8 @@ reconstruction losses) and the LSGAN/feature-matching terms inlined in
 
 from __future__ import annotations
 
+import functools
+
 from typing import List, Sequence
 
 import jax
@@ -38,7 +40,11 @@ def multi_scale_stft_loss(
     """
     if impl == "auto":
         impl = "rfft" if jax.default_backend() in ("cpu", "gpu") else "matmul"
-    mag = stft_magnitude if impl == "rfft" else stft_magnitude_matmul
+    mag = (
+        functools.partial(stft_magnitude, grad_safe=True)
+        if impl == "rfft"
+        else stft_magnitude_matmul
+    )
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     loss = 0.0
