@@ -5,7 +5,7 @@ encoder distillation step at the reference's batch 16 / 2 s chunks
 (`/root/reference/train_decoder.py:87-168`, `train_encoder.py:69-118`),
 with the trusted two-loop-length differencing + float() fetch method.
 
-Usage: python benchmarks/train_bench.py [gan-pre gan-post gan-post-bf16d enc]
+Usage: python benchmarks/train_bench.py [gan-pre gan-post gan-post-bf16d gan-post-xres enc]
 
 ``gan-post-bf16d`` measures the post-join step with the discriminators in
 bf16 compute (params and weight-norm stay fp32) — the analogue of the
@@ -106,6 +106,15 @@ def main():
                     cfg,
                     discriminator=dataclasses.replace(
                         cfg.discriminator, mrd_conv_impl="fused"
+                    ),
+                )
+            elif name.endswith("-xres"):
+                import dataclasses
+
+                scfg = dataclasses.replace(
+                    cfg,
+                    discriminator=dataclasses.replace(
+                        cfg.discriminator, mrd_conv_impl="xres"
                     ),
                 )
             step = decoder_train.make_train_step(
