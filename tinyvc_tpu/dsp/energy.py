@@ -43,7 +43,9 @@ def estimate_energy(wave: jnp.ndarray, frame_size: int = 64) -> jnp.ndarray:
         on_cpu = jax.default_backend() in ("cpu", "gpu") or (
             default_dev is not None and default_dev.platform in ("cpu", "gpu")
         )
-        if not on_cpu and f % 2 == 0:
+        from ..ops.dispatch import xla_forced
+
+        if not on_cpu and f % 2 == 0 and not xla_forced():
             from ..ops.pallas.resample import pallas_upsample_t
 
             # batch rides the kernel's channel axis; pad it to the sublane

@@ -328,14 +328,20 @@ def time_batched_convert(
         shards, halo_frames, filter_halo, axis,
     )
     windows = windows[:, None, :]  # [S, 1, win] — shard_fn expects [1, win]
-    if noise_angle is not None:
-        angle_shards = _angle_shards(noise_angle, shards, seg, M, fft_bin)
-        fn = jax.vmap(shard_fn, in_axes=(0, None, 0), axis_name=axis)
-        cores = fn(windows, target, angle_shards[:, None])
-    else:
-        fn = jax.vmap(
-            lambda w, t: shard_fn(w, t, None), in_axes=(0, None),
-            axis_name=axis,
-        )
-        cores = fn(windows, target)
+    # vmap over chunks cannot batch manual-DMA Pallas kernels (Mosaic's
+    # ANY-memspace blocks must cover the whole array); force the XLA
+    # lowerings while tracing — the chunk batch amortises their dispatch
+    from ..ops.dispatch import force_xla
+
+    with force_xla():
+        if noise_angle is not None:
+            angle_shards = _angle_shards(noise_angle, shards, seg, M, fft_bin)
+            fn = jax.vmap(shard_fn, in_axes=(0, None, 0), axis_name=axis)
+            cores = fn(windows, target, angle_shards[:, None])
+        else:
+            fn = jax.vmap(
+                lambda w, t: shard_fn(w, t, None), in_axes=(0, None),
+                axis_name=axis,
+            )
+            cores = fn(windows, target)
     return cores.reshape(L)
