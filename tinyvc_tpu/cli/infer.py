@@ -5,9 +5,12 @@ never uses them (`infer.py:27-29,40-41` — vestigial; whole-utterance only).
 Here chunking is REAL: ``-c/--chunk-frames N`` converts each utterance in
 exact overlap-save chunks batched on one device (GRN statistics, harmonic
 phase, and noise indexing stitched across chunk joins — mel-level identical
-to the whole-utterance mode; the chunk batch amortises per-op dispatch cost
-for long single utterances). Default 0 = whole-utterance, the reference's
-actual behaviour.
+to the whole-utterance mode). Measured verdict (BENCH_DETAIL
+``config4_chunked_rtf``): on TPU it is SLOWER than whole-utterance
+(1730 vs 5964 audio-s/s at B=1 x 60 s) because the chunk-vmapped region
+cannot host the fused serving kernels; use it when you need bounded jit
+bucket sizes for arbitrarily long inputs (one compile serves every S), not
+for speed. Default 0 = whole-utterance, the reference's actual behaviour.
 """
 
 import argparse

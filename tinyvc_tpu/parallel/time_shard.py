@@ -314,12 +314,16 @@ def time_batched_convert(
       guarantee and tests as the mesh variant). Note it is NOT a memory
       bound: ``vmap`` runs all ``shards`` chunk lanes concurrently, so
       activations scale with the whole utterance plus halo recompute.
-    * **B=1 longform throughput.** A single long utterance underfills the
-      per-op dispatch pipeline (BENCH config 4 diagnosis: ~100 small ops'
-      fixed costs amortised 16x at B=16); batching ``shards`` chunks
-      recovers that amortisation at the cost of the halo recompute
-      (2*halo/seg per shard on the encoder stage, 2*(filter_halo+4)/seg
-      on the decoder stage).
+    * **Bounded jit buckets for arbitrarily long inputs** — one compile
+      per chunk count S instead of one per utterance-length bucket.
+
+    Measured verdict on the B=1-longform throughput hypothesis (round 4,
+    BENCH_DETAIL ``config4_chunked_rtf``): the chunk batch DOES amortise
+    per-op dispatch, but the vmapped region cannot host the manual-DMA
+    fused serving kernels (Mosaic ANY-memspace blocks must cover the whole
+    array — see `ops/dispatch.py::force_xla`), and losing them outweighs
+    the amortisation: 1730 vs 5964 audio-s/s whole-utterance. Use the
+    whole-utterance path for speed; this path for exact chunked semantics.
     """
     L = wave.shape[-1]
     axis = "tschunk"
