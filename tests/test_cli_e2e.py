@@ -28,6 +28,7 @@ def pt_checkpoints(tmp_path):
     return enc_path, dec_path
 
 
+@pytest.mark.slow
 def test_infer_cli_with_reference_checkpoints(pt_checkpoints, tmp_path, rng):
     from tinyvc_tpu.cli.infer import main
     from tinyvc_tpu.utils.audio_io import load_audio, save_wav

@@ -76,6 +76,7 @@ def test_discriminator_forward_parity(rng):
         )
 
 
+@pytest.mark.slow
 def test_mrd_xres_lowering_matches_lax(rng):
     """'xres' (cross-resolution canvas batching, one vmapped conv per MRD
     layer) must equal 'lax' exactly — incl. the masked invalid regions and

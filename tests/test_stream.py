@@ -106,6 +106,7 @@ def test_sola_correlation_matches_torch_conv(rng):
     assert int(np.argmax(fft_cor)) == int(np.argmax(direct))
 
 
+@pytest.mark.slow
 def test_stream_converter_runs_and_is_continuous(rng):
     """Identity-ish smoke: random small models; consecutive blocks produced
     without NaN and with the documented block size/latency."""

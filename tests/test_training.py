@@ -75,6 +75,7 @@ def test_encoder_train_step_decreases_loss(rng):
     assert int(state.step) == 5
 
 
+@pytest.mark.slow
 def test_decoder_train_step_both_phases(rng):
     cfg = small_config()
     key = jax.random.PRNGKey(0)
