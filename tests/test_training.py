@@ -287,3 +287,36 @@ def test_manual_vjp_post_join_matches_naive(rng):
         np.testing.assert_allclose(
             np.asarray(xa), np.asarray(xb), atol=5e-5
         )
+
+
+def test_skip_if_nonfinite_guard():
+    """The GAN optimizers' nonfinite guard: a bad step is skipped ENTIRELY
+    (zero updates, inner state untouched, counted) and the surrounding
+    update sequence is bit-identical to never having seen it (round-4
+    burn-in: one inf gradient from TPU subnormal flush previously NaN'd
+    every parameter permanently through clip_by_global_norm)."""
+    import optax
+
+    from tinyvc_tpu.train.decoder_train import skip_if_nonfinite
+
+    inner = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    tx = skip_if_nonfinite(inner)
+    params = {"w": jnp.ones((4,))}
+    g1 = {"w": jnp.full((4,), 0.5)}
+    g2 = {"w": jnp.asarray([0.1, -0.2, 0.3, 0.4])}
+
+    ist = inner.init(params)
+    ub1, ist = inner.update(g1, ist, params)
+    ub2, ist = inner.update(g2, ist, params)
+
+    st = tx.init(params)
+    u1, st = tx.update(g1, st, params)
+    np.testing.assert_array_equal(np.asarray(u1["w"]), np.asarray(ub1["w"]))
+    for bad in (jnp.inf, -jnp.inf, jnp.nan):
+        ub, stb = tx.update({"w": jnp.asarray([1.0, bad, 0.0, 0.0])}, st, params)
+        assert float(jnp.abs(ub["w"]).sum()) == 0.0
+        assert int(stb.notfinite_count) == int(st.notfinite_count) + 1
+        st = stb
+    u3, st = tx.update(g2, st, params)
+    np.testing.assert_array_equal(np.asarray(u3["w"]), np.asarray(ub2["w"]))
+    assert int(st.notfinite_count) == 3
