@@ -346,6 +346,7 @@ def make_train_step(
             disc_params = optax.apply_updates(state.disc_params, d_updates)
             metrics["loss_d"] = loss_d
             metrics["skipped_d"] = disc_opt.notfinite_count
+            metrics["skipped_g"] = gen_opt.notfinite_count
             return GanTrainState(
                 gen_params=gen_params,
                 disc_params=disc_params,

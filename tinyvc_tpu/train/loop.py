@@ -55,6 +55,21 @@ def _mesh_or_none(batch_size: int):
     return None
 
 
+def _save(ckpt: CheckpointManager, step: int, state, cfg):
+    """Checkpoint save that is correct under both controllers counts.
+
+    Single-controller: device_get first (avoids orbax holding device refs
+    through the tunnelled backend). Multi-controller: every process must
+    participate with the GLOBAL jax.Arrays — orbax coordinates the shard
+    writes and the atomic commit itself; device_get-ing and saving host
+    copies from every process would instead race on the same step
+    directory."""
+    if jax.process_count() > 1:
+        ckpt.save(step, state, cfg)
+    else:
+        ckpt.save(step, jax.device_get(state), cfg)
+
+
 def _make_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
     """Prefer the native C++ prefetch loader (endless shuffled stream);
     fall back to the Python DataLoader. Set TINYVC_NO_NATIVE_LOADER=1 to
@@ -142,6 +157,7 @@ def train_encoder(
 
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
+    is_main = jax.process_index() == 0
     # host-side step mirror (see train_decoder: per-step int(state.step)
     # fetches sync the dispatch pipeline through the relay)
     step = int(state.step)
@@ -178,7 +194,7 @@ def train_encoder(
                 state, args["wave"], args["f0"], args["teacher"], sub
             )
             step += 1
-            if step % cfg.train.log_interval == 0:
+            if step % cfg.train.log_interval == 0 and is_main:
                 writer.write(
                     step,
                     {
@@ -193,8 +209,8 @@ def train_encoder(
                     f"({time.time() - t0:.0f}s)"
                 )
             if step % cfg.train.save_interval == 0:
-                ckpt.save(step, jax.device_get(state), cfg)
-    ckpt.save(int(state.step), jax.device_get(state), cfg)
+                _save(ckpt, step, state, cfg)
+    _save(ckpt, int(state.step), state, cfg)
     writer.close()
     ckpt.close()
     return state
@@ -217,7 +233,9 @@ def _device_data_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
         w, _ = ds[i]
         assert w.shape[0] == L, (w.shape, L)
         waves[i] = w
-    data_dev = jax.device_put(waves, jax.devices()[0])
+    # local_devices: under multi-controller, jax.devices()[0] belongs to
+    # process 0 and device_put to it raises on every other process
+    data_dev = jax.device_put(waves, jax.local_devices()[0])
     B = local_batch_size(cfg.train.batch_size)
     rng = np.random.default_rng(seed + 7919 * jax.process_index())
     steps_per_epoch = max(n // B, 1)
@@ -226,7 +244,8 @@ def _device_data_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
         while True:
             def epoch():
                 for _ in range(steps_per_epoch):
-                    idx = rng.choice(n, size=B, replace=False)
+                    # tiny caches (n < B) must sample with replacement
+                    idx = rng.choice(n, size=B, replace=n < B)
                     # dispatched async; the gather stays on device
                     yield {"wave": data_dev[jnp.asarray(idx)]}
 
@@ -292,6 +311,9 @@ def train_decoder(
 
     t0 = time.time()
     done = False
+    # multi-controller: only process 0 writes metrics/stdout (checkpoint
+    # saves stay collective — see _save)
+    is_main = jax.process_index() == 0
     # host-side mirror of state.step: `int(state.step)` is a device->host
     # fetch (multi-ms through a relay) and forces a sync EVERY step, which
     # also stops the async dispatch pipeline from hiding the batch upload.
@@ -311,7 +333,7 @@ def train_decoder(
                 wave = shard_batch(wave, mesh)
             state, metrics = fn(state, enc_params, wave, sub)
             step += 1
-            if step % cfg.train.log_interval == 0:
+            if step % cfg.train.log_interval == 0 and is_main:
                 scalars = {
                     TAG_SPEC: metrics["loss_spec"],
                     TAG_DSP: metrics["loss_dsp"],
@@ -320,6 +342,14 @@ def train_decoder(
                     scalars[TAG_G_ADV] = metrics["loss_adv"]
                     scalars[TAG_FEAT] = metrics["loss_feat"]
                     scalars[TAG_D_ADV] = metrics["loss_d"]
+                # surface the nonfinite-skip counters (decoder_train's
+                # skip_if_nonfinite guard): a run quietly skipping steps
+                # must not look healthy
+                skipped = int(metrics.get("skipped_g", 0)) + int(
+                    metrics.get("skipped_d", 0)
+                )
+                if skipped:
+                    scalars["train/Skipped Nonfinite Steps"] = skipped
                 writer.write(step, scalars)
                 now = time.time()
                 sps = (step - s_log) / max(now - t_log, 1e-9)
@@ -328,11 +358,12 @@ def train_decoder(
                     f"step {step} spec={float(metrics['loss_spec']):.4f} "
                     f"dsp={float(metrics['loss_dsp']):.4f} "
                     + (f"d={float(metrics['loss_d']):.4f} " if d_join else "")
+                    + (f"SKIPPED={skipped} " if skipped else "")
                     + f"({sps:.1f} steps/s, {now - t0:.0f}s)"
                 )
             if step % cfg.train.save_interval == 0:
-                ckpt.save(step, jax.device_get(state), cfg)
-    ckpt.save(int(state.step), jax.device_get(state), cfg)
+                _save(ckpt, step, state, cfg)
+    _save(ckpt, int(state.step), state, cfg)
     writer.close()
     ckpt.close()
     return state
