@@ -18,6 +18,11 @@ def main(argv=None):
     p.add_argument("-b", "--batch-size", default=16, type=int)
     p.add_argument("--log-interval", default=50, type=int)
     p.add_argument("--log-dir", default="./logs")
+    p.add_argument(
+        "--device-data", action="store_true",
+        help="upload the whole chunk cache (wave + f0) to device HBM once "
+        "and gather batches on device",
+    )
     p.add_argument("--coordinator-address", default=None,
                    help="multi-host: host:port of process 0 (jax.distributed)")
     p.add_argument("--num-processes", default=None, type=int)
@@ -50,6 +55,7 @@ def main(argv=None):
         epochs=args.epoch,
         noises_dir=None if args.noises == "NONE" else args.noises,
         teacher_model=args.wavlm,
+        device_data=args.device_data,
     )
 
 

@@ -132,10 +132,15 @@ def train_encoder(
     noises_dir: Optional[str] = None,
     teacher_model: str = "microsoft/wavlm-base-plus",
     seed: int = 0,
+    device_data: bool = False,
 ):
     """WavLM distillation + pitch training (reference `train_encoder.py:21-122`)."""
     epochs = epochs if epochs is not None else cfg.train.encoder_epochs
-    epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
+    if device_data:
+        # wave/f0 resident in HBM; host `idx` still serves CachedTeacher
+        epochs_iter, _num_items = _device_data_loader(cfg, dataset_dir, seed)
+    else:
+        epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
     _, state = encoder_train.init_state(cfg, jax.random.PRNGKey(seed))
 
     ckpt = CheckpointManager(ckpt_dir)
@@ -185,7 +190,10 @@ def train_encoder(
                 # (state, wave, f0, teacher, key) signature uniform
                 tfeat = np.zeros((wave.shape[0], 1, cfg.encoder.ssl_dim), np.float32)
             if noise_gen is not None:
-                wave = noise_gen.add_noise(wave)
+                # host-side mixing (np.asarray is free for host batches and
+                # fetches device-data batches — don't combine the two modes
+                # when feeding speed matters)
+                wave = noise_gen.add_noise(np.asarray(wave))
             key, sub = jax.random.split(key)
             args = {"wave": wave, "f0": f0, "teacher": tfeat}
             if mesh is not None:
@@ -228,14 +236,19 @@ def _device_data_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
     ds = Dataset(dataset_dir)
     n = len(ds)
     L = cfg.train.chunk_length
+    F = L // cfg.audio.hop_size
     waves = np.empty((n, L), np.float32)
+    f0s = np.empty((n, F), np.float32)
     for i in range(n):
-        w, _ = ds[i]
+        w, f0 = ds[i]
         assert w.shape[0] == L, (w.shape, L)
         waves[i] = w
+        f0s[i] = f0[:F]
     # local_devices: under multi-controller, jax.devices()[0] belongs to
     # process 0 and device_put to it raises on every other process
-    data_dev = jax.device_put(waves, jax.local_devices()[0])
+    dev = jax.local_devices()[0]
+    data_dev = jax.device_put(waves, dev)
+    f0_dev = jax.device_put(f0s, dev)
     B = local_batch_size(cfg.train.batch_size)
     rng = np.random.default_rng(seed + 7919 * jax.process_index())
     steps_per_epoch = max(n // B, 1)
@@ -246,14 +259,20 @@ def _device_data_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
                 for _ in range(steps_per_epoch):
                     # tiny caches (n < B) must sample with replacement
                     idx = rng.choice(n, size=B, replace=n < B)
-                    # dispatched async; the gather stays on device
-                    yield {"wave": data_dev[jnp.asarray(idx)]}
+                    idx_dev = jnp.asarray(idx)
+                    # dispatched async; the gathers stay on device. `idx`
+                    # stays on host for the cached-teacher lookup.
+                    yield {
+                        "wave": data_dev[idx_dev],
+                        "f0": f0_dev[idx_dev],
+                        "idx": idx,
+                    }
 
             yield epoch()
 
     print(
         f"[tinyvc_tpu] device-resident dataset: {n} chunks "
-        f"({waves.nbytes / 1e6:.0f} MB) uploaded once"
+        f"({(waves.nbytes + f0s.nbytes) / 1e6:.0f} MB) uploaded once"
     )
     return epochs_iter(), n
 
