@@ -29,8 +29,9 @@ def main(argv=None):
     p.add_argument("-p", "--pitch-shift", default=0.0, type=float)
     p.add_argument(
         "-c", "--chunk-frames", default=0, type=int,
-        help="0 = whole-utterance; N>0 = exact overlap-save chunked "
-        "conversion in N-frame chunks (amortises dispatch for longform)",
+        help="0 = whole-utterance (fastest); N>0 = exact overlap-save "
+        "chunked conversion in N-frame chunks (bounds jit bucket sizes; "
+        "measured ~3.4x slower than whole-utterance on TPU, see module doc)",
     )
     args = p.parse_args(argv)
 
