@@ -17,3 +17,21 @@ def test_readme_perf_block_is_current():
         "README.md perf block is stale vs the JSON artifacts — run "
         f"benchmarks/gen_perf_table.py\n{r.stderr}"
     )
+
+
+def test_latest_artifact_selection_ignores_mtime(tmp_path, monkeypatch):
+    """_latest must pick the highest ROUND (name order), not the newest
+    mtime — git checkouts scramble mtimes and made a fresh clone regress
+    the README to r03 numbers."""
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    import gen_perf_table
+
+    old = tmp_path / "BENCH_TRAIN_r03.json"
+    new = tmp_path / "BENCH_TRAIN_r04.json"
+    old.write_text('{"round": 3}')
+    new.write_text('{"round": 4}')
+    # make the OLDER round the most recently modified file
+    os.utime(new, (1, 1))
+    monkeypatch.setattr(gen_perf_table, "ROOT", str(tmp_path))
+    data, name = gen_perf_table._latest("BENCH_TRAIN*.json")
+    assert name == "BENCH_TRAIN_r04.json" and data == {"round": 4}
