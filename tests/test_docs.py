@@ -20,10 +20,11 @@ def test_readme_perf_block_is_current():
 
 
 def test_latest_artifact_selection_ignores_mtime(tmp_path, monkeypatch):
-    """_latest must pick the highest ROUND (name order), not the newest
-    mtime — git checkouts scramble mtimes and made a fresh clone regress
-    the README to r03 numbers."""
-    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    """_latest must pick the highest NUMERIC round, not the newest mtime
+    (git checkouts scramble mtimes and made a fresh clone regress the
+    README to r03 numbers) and not lexicographic name order (r9 > r10
+    under a string sort)."""
+    monkeypatch.syspath_prepend(os.path.join(ROOT, "benchmarks"))
     import gen_perf_table
 
     old = tmp_path / "BENCH_TRAIN_r03.json"
@@ -35,3 +36,8 @@ def test_latest_artifact_selection_ignores_mtime(tmp_path, monkeypatch):
     monkeypatch.setattr(gen_perf_table, "ROOT", str(tmp_path))
     data, name = gen_perf_table._latest("BENCH_TRAIN*.json")
     assert name == "BENCH_TRAIN_r04.json" and data == {"round": 4}
+    # unpadded ids must still beat padded lower rounds
+    (tmp_path / "BENCH_TRAIN_r9.json").write_text('{"round": 9}')
+    (tmp_path / "BENCH_TRAIN_r10.json").write_text('{"round": 10}')
+    data, name = gen_perf_table._latest("BENCH_TRAIN*.json")
+    assert name == "BENCH_TRAIN_r10.json" and data == {"round": 10}
