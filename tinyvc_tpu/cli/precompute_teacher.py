@@ -23,6 +23,12 @@ def main(argv=None):
         description="precompute WavLM layer-4 teacher features for distillation"
     )
     p.add_argument("--dataset-cache", default="dataset_cache")
+    p.add_argument(
+        "--backend", default="wavlm", choices=["wavlm", "mfcc"],
+        help="'wavlm' = frozen WavLM-Base+ (needs transformers + weights); "
+        "'mfcc' = procedural speaker-normalised MFCC teacher (numpy only, "
+        "works in zero-egress environments; see train/teacher.py::MFCCTeacher)",
+    )
     p.add_argument("--wavlm", default="microsoft/wavlm-base-plus")
     p.add_argument("--layer", type=int, default=4)
     p.add_argument("-b", "--batch-size", type=int, default=16)
@@ -32,24 +38,37 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    import jax.numpy as jnp
-
-    from ..config import TinyVCConfig
     from ..data.dataset import Dataset
-    from ..dsp.resample import resample
-    from ..train.teacher import WavLMTeacher
 
-    cfg = TinyVCConfig()
     ds = Dataset(args.dataset_cache)
-    try:
-        teacher = WavLMTeacher(args.wavlm, layer=args.layer)
-    except Exception as e:
-        raise SystemExit(
-            f"could not load the WavLM teacher {args.wavlm!r} "
-            f"({type(e).__name__}: {e}).\nIn offline environments, download "
-            "the weights elsewhere and point --wavlm at a local directory, "
-            "or copy precomputed {idx}.teacher.npy files into the cache."
-        )
+    if args.backend == "mfcc":
+        from ..train.teacher import MFCCTeacher
+
+        teacher = MFCCTeacher()
+        to_teacher_input = lambda waves: waves  # native 24 kHz  # noqa: E731
+    else:
+        import jax.numpy as jnp
+
+        from ..config import TinyVCConfig
+        from ..dsp.resample import resample
+        from ..train.teacher import WavLMTeacher
+
+        cfg = TinyVCConfig()
+        try:
+            teacher = WavLMTeacher(args.wavlm, layer=args.layer)
+        except Exception as e:
+            raise SystemExit(
+                f"could not load the WavLM teacher {args.wavlm!r} "
+                f"({type(e).__name__}: {e}).\nIn offline environments, download "
+                "the weights elsewhere and point --wavlm at a local directory, "
+                "copy precomputed {idx}.teacher.npy files into the cache, or "
+                "use --backend mfcc (procedural, no downloads)."
+            )
+
+        def to_teacher_input(waves):
+            return np.asarray(
+                resample(jnp.asarray(waves), cfg.audio.sample_rate, 16000)
+            )
 
     todo = [
         i
@@ -57,12 +76,11 @@ def main(argv=None):
         if args.overwrite
         or not os.path.exists(os.path.join(args.dataset_cache, f"{i}.teacher.npy"))
     ]
-    print(f"precomputing teacher features for {len(todo)}/{len(ds)} chunks")
+    print(f"precomputing {args.backend} teacher features for {len(todo)}/{len(ds)} chunks")
     for lo in range(0, len(todo), args.batch_size):
         idxs = todo[lo : lo + args.batch_size]
         waves = np.stack([ds[i][0] for i in idxs])  # [b, L] clean 24 kHz
-        wave16 = np.asarray(resample(jnp.asarray(waves), cfg.audio.sample_rate, 16000))
-        feats = teacher(wave16)  # [b, Ft, 768]
+        feats = teacher(to_teacher_input(waves))  # [b, Ft, 768]
         for j, i in enumerate(idxs):
             np.save(
                 os.path.join(args.dataset_cache, f"{i}.teacher.npy"),
