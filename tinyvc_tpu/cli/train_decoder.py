@@ -30,6 +30,12 @@ def main(argv=None):
         help="upload the whole chunk cache to device HBM once and gather "
         "batches on device (fastest when the cache fits; ~94 kB/s of audio)",
     )
+    p.add_argument(
+        "-K", "--steps-per-dispatch", default=0, type=int,
+        help="with --device-data: scan K jitted steps per host dispatch "
+        "(0 = auto: the log interval, clamped to the log/save/join "
+        "boundaries; 1 = per-step dispatch)",
+    )
     p.add_argument("--coordinator-address", default=None,
                    help="multi-host: host:port of process 0 (jax.distributed)")
     p.add_argument("--num-processes", default=None, type=int)
@@ -73,6 +79,7 @@ def main(argv=None):
         log_dir=args.log_dir,
         spec_loss_type=args.spec_type,
         device_data=args.device_data,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
 

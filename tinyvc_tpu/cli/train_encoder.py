@@ -17,11 +17,17 @@ def main(argv=None):
     p.add_argument("-e", "--epoch", default=60, type=int)
     p.add_argument("-b", "--batch-size", default=16, type=int)
     p.add_argument("--log-interval", default=50, type=int)
+    p.add_argument("--save-interval", default=500, type=int)
     p.add_argument("--log-dir", default="./logs")
     p.add_argument(
         "--device-data", action="store_true",
         help="upload the whole chunk cache (wave + f0) to device HBM once "
         "and gather batches on device",
+    )
+    p.add_argument(
+        "-K", "--steps-per-dispatch", default=0, type=int,
+        help="with --device-data: scan K jitted steps per host dispatch "
+        "(0 = auto; 1 = per-step dispatch)",
     )
     p.add_argument("--coordinator-address", default=None,
                    help="multi-host: host:port of process 0 (jax.distributed)")
@@ -45,6 +51,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             learning_rate=args.learning_rate,
             log_interval=args.log_interval,
+            save_interval=args.save_interval,
         ),
     )
     train_encoder(
@@ -56,6 +63,7 @@ def main(argv=None):
         noises_dir=None if args.noises == "NONE" else args.noises,
         teacher_model=args.wavlm,
         device_data=args.device_data,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
 

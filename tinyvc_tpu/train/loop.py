@@ -32,7 +32,7 @@ from ..utils.metrics import (
     MetricsWriter,
 )
 from . import decoder_train, encoder_train
-from .teacher import CachedTeacher, make_teacher
+from .teacher import CachedTeacher, WavLMTeacher, make_teacher
 
 
 def _mesh_or_none(batch_size: int):
@@ -133,12 +133,20 @@ def train_encoder(
     teacher_model: str = "microsoft/wavlm-base-plus",
     seed: int = 0,
     device_data: bool = False,
+    steps_per_dispatch: int = 0,
 ):
-    """WavLM distillation + pitch training (reference `train_encoder.py:21-122`)."""
+    """WavLM distillation + pitch training (reference `train_encoder.py:21-122`).
+
+    ``steps_per_dispatch``: with ``device_data``, scan K jitted steps per
+    host dispatch (train/multi_step.py). 0 = auto (log_interval, clamped to
+    the host-visible boundaries); 1 = force per-step dispatch.
+    """
     epochs = epochs if epochs is not None else cfg.train.encoder_epochs
+    store = None
     if device_data:
-        # wave/f0 resident in HBM; host `idx` still serves CachedTeacher
-        epochs_iter, _num_items = _device_data_loader(cfg, dataset_dir, seed)
+        # wave/f0 (+ cached teacher features) resident in HBM; host `idx`
+        # still serves CachedTeacher on the per-step path
+        epochs_iter, _num_items, store = _device_data_loader(cfg, dataset_dir, seed)
     else:
         epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
     _, state = encoder_train.init_state(cfg, jax.random.PRNGKey(seed))
@@ -166,6 +174,67 @@ def train_encoder(
     # host-side step mirror (see train_decoder: per-step int(state.step)
     # fetches sync the dispatch pipeline through the relay)
     step = int(state.step)
+
+    # ---- K-steps-per-dispatch fast path (device-resident cache only) ----
+    use_multi = (
+        steps_per_dispatch != 1
+        and store is not None
+        and mesh is None
+        and noise_gen is None
+        and not isinstance(teacher, WavLMTeacher)  # live teacher is host-side
+    )
+    if use_multi:
+        from .multi_step import effective_k, make_encoder_multi_step
+
+        n, B = store["n"], cfg.train.batch_size
+        steps_per_epoch = max(n // B, 1)
+        total = epochs * steps_per_epoch
+        req = steps_per_dispatch or cfg.train.log_interval
+        K = effective_k(req, cfg.train.log_interval, cfg.train.save_interval,
+                        total, step)
+        use_multi = K > 1
+    if use_multi:
+        if teacher is not None and store["teacher"] is None:
+            raise RuntimeError(
+                "device-data multi-step distillation needs cached "
+                "{idx}.teacher.npy features covering the whole cache"
+            )
+        teacher_dev = store["teacher"]
+        if teacher_dev is None:
+            teacher_dev = jnp.zeros((n, 1, cfg.encoder.ssl_dim), jnp.float32)
+        multi = make_encoder_multi_step(cfg, distill=teacher is not None)
+        rng = np.random.default_rng(seed + 4242)
+        print(f"[tinyvc_tpu] multi-step dispatch: K={K} steps per device call")
+        done = 0
+        while done < total:
+            k = min(K, total - done)  # total % K == 0 by construction
+            idx = np.stack(
+                [rng.choice(n, size=B, replace=n < B) for _ in range(k)]
+            ).astype(np.int32)
+            keys = jax.random.split(key, k + 1)
+            key = keys[0]
+            state, metrics = multi(
+                state, store["wave"], store["f0"], teacher_dev,
+                jnp.asarray(idx), keys[1:],
+            )
+            step += k
+            done += k
+            if step % cfg.train.log_interval == 0 and is_main:
+                writer.write(step, {TAG_PITCH: metrics["loss_f0"],
+                                    TAG_DISTILL: metrics["loss_distill"]})
+                print(
+                    f"epoch {done // steps_per_epoch} step {step} "
+                    f"f0={float(metrics['loss_f0']):.4f} "
+                    f"distill={float(metrics['loss_distill']):.4f} "
+                    f"({time.time() - t0:.0f}s)"
+                )
+            if step % cfg.train.save_interval == 0:
+                _save(ckpt, step, state, cfg)
+        _save(ckpt, int(state.step), state, cfg)
+        writer.close()
+        ckpt.close()
+        return state
+
     for epoch in range(epochs):
         for batch in next(epochs_iter):
             wave, f0 = batch["wave"], batch["f0"]
@@ -232,7 +301,14 @@ def _device_data_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
     187 kB; even 10k chunks are < 2 GB): over a relayed/remote link the
     per-step 3 MB fp32 batch upload otherwise bounds the step time far
     above the compute cost. The reference has no analogue (it re-reads
-    files per batch, `module/utils/dataset.py:17`)."""
+    files per batch, `module/utils/dataset.py:17`).
+
+    Returns ``(epochs_iter, n, store)`` where ``store`` holds the
+    HBM-resident arrays (wave/f0, plus cached teacher features when the
+    cache has them) for the K-steps-per-dispatch path (train/multi_step.py).
+    """
+    import os as _os
+
     ds = Dataset(dataset_dir)
     n = len(ds)
     L = cfg.train.chunk_length
@@ -249,6 +325,14 @@ def _device_data_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
     dev = jax.local_devices()[0]
     data_dev = jax.device_put(waves, dev)
     f0_dev = jax.device_put(f0s, dev)
+    teacher_dev = None
+    if _os.path.exists(_os.path.join(dataset_dir, "0.teacher.npy")):
+        tfeats = np.stack([
+            np.load(_os.path.join(dataset_dir, f"{i}.teacher.npy"))
+            for i in range(n)
+        ])
+        teacher_dev = jax.device_put(tfeats, dev)
+    store = {"wave": data_dev, "f0": f0_dev, "teacher": teacher_dev, "n": n}
     B = local_batch_size(cfg.train.batch_size)
     rng = np.random.default_rng(seed + 7919 * jax.process_index())
     steps_per_epoch = max(n // B, 1)
@@ -270,11 +354,14 @@ def _device_data_loader(cfg: TinyVCConfig, dataset_dir: str, seed: int):
 
             yield epoch()
 
+    tbytes = 0 if teacher_dev is None else tfeats.nbytes
     print(
         f"[tinyvc_tpu] device-resident dataset: {n} chunks "
-        f"({(waves.nbytes + f0s.nbytes) / 1e6:.0f} MB) uploaded once"
+        f"({(waves.nbytes + f0s.nbytes + tbytes) / 1e6:.0f} MB"
+        + (", incl. teacher features" if teacher_dev is not None else "")
+        + ") uploaded once"
     )
-    return epochs_iter(), n
+    return epochs_iter(), n, store
 
 
 def train_decoder(
@@ -287,13 +374,19 @@ def train_decoder(
     spec_loss_type: str = "ms-stft",
     seed: int = 0,
     device_data: bool = False,
+    steps_per_dispatch: int = 0,
 ):
-    """GAN vocoder training (reference `train_decoder.py:18-172`)."""
+    """GAN vocoder training (reference `train_decoder.py:18-172`).
+
+    ``steps_per_dispatch``: with ``device_data``, scan K jitted GAN steps
+    per host dispatch (train/multi_step.py). 0 = auto; 1 = per-step.
+    """
     from .encoder_train import init_state as enc_init
 
     max_steps = max_steps if max_steps is not None else cfg.train.max_steps
+    store = None
     if device_data:
-        epochs_iter, _num_items = _device_data_loader(cfg, dataset_dir, seed)
+        epochs_iter, _num_items, store = _device_data_loader(cfg, dataset_dir, seed)
     else:
         epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
 
@@ -339,6 +432,70 @@ def train_decoder(
     # Fetch once here; log-interval metric fetches re-sync periodically.
     step = int(state.step)
     t_log, s_log = t0, step
+
+    # ---- K-steps-per-dispatch fast path (device-resident cache only) ----
+    use_multi = steps_per_dispatch != 1 and store is not None and mesh is None
+    if use_multi:
+        from .multi_step import effective_k, make_decoder_multi_step
+
+        req = steps_per_dispatch or cfg.train.log_interval
+        K = effective_k(req, cfg.train.log_interval, cfg.train.save_interval,
+                        cfg.train.discriminator_join, max_steps, step)
+        use_multi = K > 1
+    if use_multi:
+        n, B = store["n"], cfg.train.batch_size
+        multi_pre = make_decoder_multi_step(
+            cfg, d_join=False, spec_loss_type=spec_loss_type
+        )
+        multi_post = make_decoder_multi_step(
+            cfg, d_join=True, spec_loss_type=spec_loss_type
+        )
+        rng = np.random.default_rng(seed + 4242)
+        print(f"[tinyvc_tpu] multi-step dispatch: K={K} steps per device call")
+        while step < max_steps:
+            k = min(K, max_steps - step)
+            # K divides the join step, so a window never straddles it
+            d_join = step >= cfg.train.discriminator_join
+            fn = multi_post if d_join else multi_pre
+            idx = np.stack(
+                [rng.choice(n, size=B, replace=n < B) for _ in range(k)]
+            ).astype(np.int32)
+            keys = jax.random.split(key, k + 1)
+            key = keys[0]
+            state, metrics = fn(
+                state, enc_params, store["wave"], jnp.asarray(idx), keys[1:]
+            )
+            step += k
+            if step % cfg.train.log_interval == 0 and is_main:
+                scalars = {TAG_SPEC: metrics["loss_spec"],
+                           TAG_DSP: metrics["loss_dsp"]}
+                if d_join:
+                    scalars[TAG_G_ADV] = metrics["loss_adv"]
+                    scalars[TAG_FEAT] = metrics["loss_feat"]
+                    scalars[TAG_D_ADV] = metrics["loss_d"]
+                skipped = int(metrics.get("skipped_g", 0)) + int(
+                    metrics.get("skipped_d", 0)
+                )
+                if skipped:
+                    scalars["train/Skipped Nonfinite Steps"] = skipped
+                writer.write(step, scalars)
+                now = time.time()
+                sps = (step - s_log) / max(now - t_log, 1e-9)
+                t_log, s_log = now, step
+                print(
+                    f"step {step} spec={float(metrics['loss_spec']):.4f} "
+                    f"dsp={float(metrics['loss_dsp']):.4f} "
+                    + (f"d={float(metrics['loss_d']):.4f} " if d_join else "")
+                    + (f"SKIPPED={skipped} " if skipped else "")
+                    + f"({sps:.1f} steps/s, {now - t0:.0f}s)"
+                )
+            if step % cfg.train.save_interval == 0:
+                _save(ckpt, step, state, cfg)
+        _save(ckpt, int(state.step), state, cfg)
+        writer.close()
+        ckpt.close()
+        return state
+
     while not done:
         for batch in next(epochs_iter):
             if step >= max_steps:
