@@ -198,16 +198,21 @@ def render_utterance(content: dict, spk: dict):
     bounds = np.linspace(0, n, n_syl + 1).astype(int)
     out = np.zeros(n)
     spans = []
+    # two-pole resonators ring down below -80 dB within ~2k samples at
+    # these bandwidths; filtering each syllable segment + tail (instead of
+    # a full-length zero-padded copy per syllable) is numerically the same
+    # utterance at a fraction of the cost
+    tail = 4096
     for i in range(n_syl):
         f1, f2 = VOWELS[vowels[i]]
         j1, j2 = content["vowel_jit"][i]
         f1r = f1 * j1 * spk["formant_scale"]
         f2r = f2 * j2 * spk["formant_scale"]
         s, e = bounds[i], bounds[i + 1]
-        seg = np.zeros(n)
-        seg[s:e] = src[s:e]
-        out += (0.6 * _resonator(seg, f1r, 80.0 * spk["bw_scale"])
-                + 0.4 * _resonator(seg, f2r, 120.0 * spk["bw_scale"]))
+        seg = np.concatenate([src[s:e], np.zeros(min(tail, n - e))])
+        out[s: s + len(seg)] += (
+            0.6 * _resonator(seg, f1r, 80.0 * spk["bw_scale"])
+            + 0.4 * _resonator(seg, f2r, 120.0 * spk["bw_scale"]))
         spans.append(dict(start=s / SR, end=e / SR, vowel=vowels[i],
                           f1=float(f1r), f2=float(f2r)))
         has_burst, blen, bfreq = content["bursts"][i]
