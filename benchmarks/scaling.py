@@ -250,7 +250,8 @@ def bench_stream_sharded(n_devices: int, n_blocks: int = 8):
 
 
 def bench_knn_only(n_devices: int, batch: int = 4, frames: int = 500,
-                   dict_n: int = 16384, payload: str = "index"):
+                   dict_n: int = 16384, payload: str = "index",
+                   report_mem: bool = False):
     """The sharded-kNN match ALONE (no replicated encoder/decoder around
     it): total similarity work is constant across device counts, so on the
     virtual CPU mesh the wall-time growth vs 1 device IS the
@@ -276,12 +277,17 @@ def bench_knn_only(n_devices: int, batch: int = 4, frames: int = 500,
     source = jnp.asarray(
         rng.standard_normal((batch, frames, 768)).astype(np.float32)
     )
-    dictionary = jnp.asarray(
-        rng.standard_normal((dict_n, 768)).astype(np.float32)
-    )
+    # large dictionaries: build in chunks to avoid a transient 2x host copy
+    dictionary = jnp.concatenate([
+        jnp.asarray(rng.standard_normal((min(65536, dict_n - lo), 768))
+                    .astype(np.float32))
+        for lo in range(0, dict_n, 65536)
+    ])
     if n_devices == 0:  # dense single-device baseline
         fn = jax.jit(lambda s, d: match_features(s, d[None]))
         dt = time_fn(fn, source, dictionary)
+        if report_mem:
+            return dt * 1000.0, dictionary.nbytes
         return dt * 1000.0
     mesh = make_mesh(data=1, model=n_devices,
                      devices=jax.devices()[:n_devices])
@@ -295,6 +301,13 @@ def bench_knn_only(n_devices: int, batch: int = 4, frames: int = 500,
                                                    payload=payload)
         )
         dt = time_fn(fn, src, dic, mask)
+        if report_mem:
+            # per-device dictionary bytes: the addressable shard this mesh
+            # position actually holds (must drop as 1/S)
+            shard_bytes = max(
+                s.data.nbytes for s in dic.addressable_shards
+            )
+            return dt * 1000.0, shard_bytes
     return dt * 1000.0
 
 
@@ -317,6 +330,13 @@ def main():
                    help="measure ONLY the sharded-kNN match (constant total"
                         " work: isolates collective/sharding overhead on"
                         " the virtual mesh)")
+    p.add_argument("--dict-n", type=int, default=16384,
+                   help="with --knn: dictionary rows (use ~1M to measure the"
+                        " regime where per-device memory and the similarity"
+                        " matmul actually bind)")
+    p.add_argument("--frames", type=int, default=500,
+                   help="with --knn: source frames per batch row")
+    p.add_argument("--knn-batch", type=int, default=4)
     p.add_argument("--cpu", type=int, default=None,
                    help="force an N-device virtual CPU mesh (handled at"
                         " import time)")
@@ -331,14 +351,21 @@ def main():
     counts = [c for c in counts if c <= n_avail]
 
     if args.knn:
-        base = bench_knn_only(0)
-        print(json.dumps({"devices": "dense-1", "knn_ms": round(base, 2)}))
+        kw = dict(batch=args.knn_batch, frames=args.frames,
+                  dict_n=args.dict_n, report_mem=True)
+        base, base_bytes = bench_knn_only(0, **kw)
+        print(json.dumps({"devices": "dense-1", "dict_n": args.dict_n,
+                          "knn_ms": round(base, 2),
+                          "dict_bytes_per_device": base_bytes}))
         for n in counts:
             for payload in ("index", "vectors"):
-                ms = bench_knn_only(n, payload=payload)
+                ms, shard_bytes = bench_knn_only(n, payload=payload, **kw)
                 print(json.dumps({
-                    "devices": n, "payload": payload, "knn_ms": round(ms, 2),
+                    "devices": n, "payload": payload, "dict_n": args.dict_n,
+                    "knn_ms": round(ms, 2),
                     "overhead_vs_dense": round(ms / base, 3),
+                    "dict_bytes_per_device": shard_bytes,
+                    "mem_fraction_of_dense": round(shard_bytes / base_bytes, 4),
                 }))
         return
 

@@ -141,13 +141,30 @@ def test_stream_converter_runs_and_is_continuous(rng):
 
     sc = StreamConverter(enc_p, dec_p, target, cfg)
     outs = []
-    for i in range(4):
-        block = (rng.standard_normal(sc.block_size) * 0.1).astype(np.float32)
+    blocks = [
+        (rng.standard_normal(sc.block_size) * 0.1).astype(np.float32)
+        for _ in range(4)
+    ]
+    for block in blocks:
         out = sc.process_block(block)
         assert out.shape == (sc.block_size,)
         assert np.isfinite(out).all()
         outs.append(out)
     assert sc.latency_samples > 0
+
+    # pipelined (double-buffered) dispatch: same per-block outputs, each
+    # delivered one call later — throughput machinery must not change the
+    # stream semantics
+    sc2 = StreamConverter(enc_p, dec_p, target, cfg)
+    piped = []
+    for block in blocks:
+        got = sc2.process_block_pipelined(block, depth=1)
+        if got is not None:
+            piped.append(got)
+    piped.extend(sc2.drain())
+    assert len(piped) == len(outs)
+    for a, b in zip(outs, piped):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
 @pytest.mark.slow

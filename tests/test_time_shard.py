@@ -139,3 +139,34 @@ def test_time_sharded_invariance_and_mel_parity(rng):
         )
     )
     assert np.isfinite(out_rng).all()
+
+
+def test_batched_native_matches_vmap(rng):
+    """native=True (real batch: GRN batch-sum, reshape phase stitch, global
+    noise table — the lowering that lets the fused serving kernels engage)
+    must equal native=False (the vmap-axis_name lowering) — same math, no
+    collective reordering, so the agreement is essentially bitwise."""
+    cfg = small_config()
+    F, L = 40, 40 * 480
+    key = jax.random.PRNGKey(3)
+    encoder = Encoder(cfg.encoder)
+    decoder = Decoder(cfg.decoder, cfg.audio)
+    k1, k2, k3 = jax.random.split(key, 3)
+    enc_p = encoder.init(k1, jnp.zeros((1, 20, cfg.audio.fft_bin)))
+    dec_p = decoder.init(
+        k2, jnp.zeros((1, 20, cfg.decoder.content_channels)),
+        jnp.zeros((1, 20)), jnp.zeros((1, 20 * 480)), k3,
+    )
+    wave = jnp.asarray(rng.standard_normal(L).astype(np.float32) * 0.1)
+    target = jnp.asarray(
+        rng.standard_normal((64, cfg.encoder.ssl_dim)).astype(np.float32)
+    )
+    kw = dict(shards=4, halo_frames=8, filter_halo=2)
+    out_v = np.asarray(time_batched_convert(
+        enc_p, dec_p, wave, target, jnp.float32(1.0), key, cfg,
+        native=False, **kw))
+    out_n = np.asarray(time_batched_convert(
+        enc_p, dec_p, wave, target, jnp.float32(1.0), key, cfg,
+        native=True, **kw))
+    scale = np.abs(out_v).max()
+    assert np.abs(out_v - out_n).max() / scale < 1e-5

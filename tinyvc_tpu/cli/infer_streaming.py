@@ -21,6 +21,12 @@ def main(argv=None):
     p.add_argument("-og", "--output-gain", default=0.0, type=float)
     p.add_argument("--wav-in", default=None, help="stream from a wav file")
     p.add_argument("--wav-out", default=None, help="write streamed output here")
+    p.add_argument(
+        "--pipeline", default=0, type=int,
+        help="double-buffered dispatch depth D: adds D blocks of latency, "
+        "hides the host<->device round trip so sustained throughput runs "
+        "at the pipeline's slowest stage (0 = synchronous per block)",
+    )
     args = p.parse_args(argv)
 
     import dataclasses
@@ -69,7 +75,16 @@ def main(argv=None):
         outs = []
         for b in range(n_blocks):
             block = wf[b * sc.block_size : (b + 1) * sc.block_size] * in_gain
-            outs.append(sc.process_block(block.astype(np.float32)) * out_gain)
+            if args.pipeline > 0:
+                got = sc.process_block_pipelined(
+                    block.astype(np.float32), depth=args.pipeline
+                )
+                if got is not None:
+                    outs.append(got * out_gain)
+            else:
+                outs.append(sc.process_block(block.astype(np.float32)) * out_gain)
+        if args.pipeline > 0:
+            outs.extend(o * out_gain for o in sc.drain())
         out = np.concatenate(outs)
         if args.wav_out:
             save_wav(args.wav_out, out, cfg.audio.sample_rate)
@@ -105,7 +120,13 @@ def main(argv=None):
     while True:
         chunk = stream_input.read(args.chunk)
         block = np.frombuffer(chunk, dtype=np.int16).astype(np.float32) / 32768.0
-        out = sc.process_block(block * in_gain) * out_gain
+        if args.pipeline > 0:
+            out = sc.process_block_pipelined(block * in_gain, depth=args.pipeline)
+            if out is None:  # pipeline warm-up: emit silence
+                out = np.zeros(sc.block_size, np.float32)
+            out = out * out_gain
+        else:
+            out = sc.process_block(block * in_gain) * out_gain
         data = (np.clip(out, -1, 1) * 32768.0).astype(np.int16).tobytes()
         stream_output.write(data)
         if stream_loopback is not None:

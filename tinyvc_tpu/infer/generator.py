@@ -309,6 +309,7 @@ class VoiceConverter:
         chunk_frames: int = 512,
         halo_frames: int = 96,
         filter_halo: int = 32,
+        native: bool = True,
     ) -> np.ndarray:
         """Exact chunked long-utterance conversion: [L] -> [L].
 
@@ -344,7 +345,7 @@ class VoiceConverter:
         cache = getattr(self, "_chunked_cache", None)
         if cache is None:
             cache = self._chunked_cache = {}
-        sig = (S, Fp, chunk_frames, halo_frames, filter_halo)
+        sig = (S, Fp, chunk_frames, halo_frames, filter_halo, native)
         fn = cache.get(sig)
         if fn is None:
             cfg_ = self.cfg
@@ -354,6 +355,7 @@ class VoiceConverter:
                 return time_batched_convert(
                     enc_p, dec_p, w, tgt, ps, k, cfg_, shards=S,
                     halo_frames=halo_frames, filter_halo=filter_halo,
+                    native=native,
                 )
 
             cache[sig] = fn

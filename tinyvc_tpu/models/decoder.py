@@ -120,6 +120,7 @@ class SourceNet(nn.Module):
     audio: AudioConfig = AudioConfig()
     time_axis_name: str | None = None
     time_halo: int = 0
+    time_batch: bool = False
 
     @nn.compact
     def __call__(
@@ -147,6 +148,7 @@ class SourceNet(nn.Module):
                 dtype=dt,
                 grn_time_axis=self.time_axis_name,
                 grn_time_halo=self.time_halo,
+                grn_time_batch=self.time_batch,
                 name=f"layer_{i}",
             )(x)
         # elu + 1 keeps both heads positive with nonvanishing gradient
@@ -344,10 +346,12 @@ class Decoder(nn.Module):
     audio: AudioConfig = AudioConfig()
     time_axis_name: str | None = None
     time_halo: int = 0
+    time_batch: bool = False
 
     def setup(self):
         self.source_net = SourceNet(
-            self.cfg, self.audio, self.time_axis_name, self.time_halo
+            self.cfg, self.audio, self.time_axis_name, self.time_halo,
+            self.time_batch,
         )
         self.filter_net = FilterNet(self.cfg)
 

@@ -68,6 +68,7 @@ class PitchEstimator(nn.Module):
     cfg: EncoderConfig = EncoderConfig()
     time_axis_name: str | None = None
     time_halo: int = 0
+    time_batch: bool = False
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
@@ -78,6 +79,7 @@ class PitchEstimator(nn.Module):
             dtype=jnp.dtype(self.cfg.compute_dtype),
             grn_time_axis=self.time_axis_name,
             grn_time_halo=self.time_halo,
+            grn_time_batch=self.time_batch,
             name="stack",
         )(spec)
 
@@ -88,6 +90,7 @@ class SSLFeatureEstimator(nn.Module):
     cfg: EncoderConfig = EncoderConfig()
     time_axis_name: str | None = None
     time_halo: int = 0
+    time_batch: bool = False
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
@@ -98,6 +101,7 @@ class SSLFeatureEstimator(nn.Module):
             dtype=jnp.dtype(self.cfg.compute_dtype),
             grn_time_axis=self.time_axis_name,
             grn_time_halo=self.time_halo,
+            grn_time_batch=self.time_batch,
             name="stack",
         )(spec)
 
@@ -112,13 +116,14 @@ class Encoder(nn.Module):
     cfg: EncoderConfig = EncoderConfig()
     time_axis_name: str | None = None
     time_halo: int = 0
+    time_batch: bool = False
 
     def setup(self):
         self.ssl_feature_estimator = SSLFeatureEstimator(
-            self.cfg, self.time_axis_name, self.time_halo
+            self.cfg, self.time_axis_name, self.time_halo, self.time_batch
         )
         self.pitch_estimator = PitchEstimator(
-            self.cfg, self.time_axis_name, self.time_halo
+            self.cfg, self.time_axis_name, self.time_halo, self.time_batch
         )
 
     def __call__(self, spec: jnp.ndarray):

@@ -295,12 +295,17 @@ class GRN(nn.Module):
     statistic — GRN is the only op in the model with unbounded receptive
     field, so this single collective makes time-sharding exact.
     ``time_halo``: frames at each end of the local segment excluded from the
-    statistic (overlap-save halos must not be double-counted in the psum)."""
+    statistic (overlap-save halos must not be double-counted in the psum).
+    ``time_batch_reduce``: the batch rows are time-chunks of ONE sequence
+    (batch-native chunked inference, parallel/time_shard.py::
+    time_batched_convert with native=True) — the statistic additionally
+    sums over the batch axis, the un-vmapped equivalent of the psum."""
 
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     time_axis_name: str | None = None
     time_halo: int = 0
+    time_batch_reduce: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -313,6 +318,8 @@ class GRN(nn.Module):
         else:
             core = x32
         sq = jnp.sum(core * core, axis=-2, keepdims=True)  # [B, 1, C]
+        if self.time_batch_reduce:
+            sq = jnp.sum(sq, axis=0, keepdims=True)  # chunk rows -> global
         if self.time_axis_name is not None:
             sq = jax.lax.psum(sq, self.time_axis_name)
         gx = jnp.sqrt(sq)
@@ -335,6 +342,7 @@ class ConvNeXtLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     grn_time_axis: str | None = None
     grn_time_halo: int = 0
+    grn_time_batch: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -352,6 +360,7 @@ class ConvNeXtLayer(nn.Module):
             dtype=self.dtype,
             time_axis_name=self.grn_time_axis,
             time_halo=self.grn_time_halo,
+            time_batch_reduce=self.grn_time_batch,
             name="grn",
         )(x)
         x = torch_dense(
@@ -371,6 +380,7 @@ class ConvNeXtStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
     grn_time_axis: str | None = None
     grn_time_halo: int = 0
+    grn_time_batch: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -383,6 +393,7 @@ class ConvNeXtStack(nn.Module):
                 self.channels, self.kernel_size, dilation=d, dtype=self.dtype,
                 grn_time_axis=self.grn_time_axis,
                 grn_time_halo=self.grn_time_halo,
+                grn_time_batch=self.grn_time_batch,
                 name=f"layer_{i}",
             )(x)
         return torch_dense(

@@ -298,33 +298,40 @@ def time_batched_convert(
     halo_frames: int = 96,
     filter_halo: int = 32,
     noise_angle: Optional[jnp.ndarray] = None,
+    native: bool = True,
 ) -> jnp.ndarray:
     """Single-device chunked long-utterance conversion: wave [L] -> [L].
 
-    The exact overlap-save math of :func:`time_sharded_convert`, but the
-    shard axis is mapped onto the *batch* dimension of one device via
-    ``jax.vmap(axis_name=...)`` — the GRN psum, f0 all-gather, and
-    axis_index collectives resolve to intra-array ops. Two uses:
+    The exact overlap-save math of :func:`time_sharded_convert` with the
+    shard axis on the *batch* dimension of one device. Chunk joins stay
+    exact the same three ways (GRN statistics globalised, harmonic phase
+    prefix-seeded, noise indexed by global frame); naive chunking breaks
+    all three (the reference parses ``--chunk-size``/``--no-chunking`` but
+    never implements chunking — `infer.py:27-29,40-41`, vestigial).
 
-    * **Exact chunked inference.** The reference parses ``--chunk-size`` /
-      ``--no-chunking`` flags but never implements chunking
-      (`infer.py:27-29,40-41` — vestigial); naive chunking would break GRN
-      statistics and harmonic phase at chunk joins. This path is chunked
-      *and* matches the no-chunking pipeline at the mel level (same
-      guarantee and tests as the mesh variant). Note it is NOT a memory
-      bound: ``vmap`` runs all ``shards`` chunk lanes concurrently, so
-      activations scale with the whole utterance plus halo recompute.
-    * **Bounded jit buckets for arbitrarily long inputs** — one compile
-      per chunk count S instead of one per utterance-length bucket.
+    ``native=True`` (default): the chunks are a REAL batch — every op sees
+    an ordinary ``[S, ...]`` tensor, GRN's global statistic is a batch-axis
+    sum, the phase prefix is a plain reshape across rows, and noise phases
+    come from a precomputed global-frame table. No ``vmap``, so the
+    manual-DMA fused Pallas serving kernels engage (round-4's chunked mode
+    lost them to Mosaic's whole-array ANY-memspec constraint and measured
+    1730 vs 5964 audio-s/s; this is NOTES item 5's fix).
 
-    Measured verdict on the B=1-longform throughput hypothesis (round 4,
-    BENCH_DETAIL ``config4_chunked_rtf``): the chunk batch DOES amortise
-    per-op dispatch, but the vmapped region cannot host the manual-DMA
-    fused serving kernels (Mosaic ANY-memspace blocks must cover the whole
-    array — see `ops/dispatch.py::force_xla`), and losing them outweighs
-    the amortisation: 1730 vs 5964 audio-s/s whole-utterance. Use the
-    whole-utterance path for speed; this path for exact chunked semantics.
+    ``native=False``: the round-4 lowering — ``jax.vmap(axis_name=...)``
+    over the per-shard function with collectives resolved intra-array,
+    fused kernels forced off (`ops/dispatch.py::force_xla`). Kept as the
+    measured A/B ablation and as the exact vmap twin of the mesh path.
+
+    Not a memory bound either way: all ``S`` chunk lanes run concurrently,
+    so activations scale with the whole utterance plus halo recompute. Its
+    other use stands: bounded jit buckets for arbitrarily long inputs (one
+    compile per chunk count S instead of one per utterance-length bucket).
     """
+    if native:
+        return _time_batched_native(
+            enc_params, dec_params, wave, target, pitch_shift, key, cfg,
+            shards, halo_frames, filter_halo, noise_angle,
+        )
     L = wave.shape[-1]
     axis = "tschunk"
     windows, shard_fn, seg, M, fft_bin = _prepare_overlap_save(
@@ -349,3 +356,112 @@ def time_batched_convert(
             )
             cores = fn(windows, target)
     return cores.reshape(L)
+
+
+def _time_batched_native(
+    enc_params, dec_params, wave, target, pitch_shift, key, cfg,
+    S, halo_frames, filter_halo, noise_angle,
+) -> jnp.ndarray:
+    """Batch-native body of :func:`time_batched_convert`: identical
+    overlap-save math, expressed as ordinary batched ops over [S, ...]."""
+    hop = cfg.audio.hop_size
+    L = wave.shape[-1]
+    assert L % (S * hop) == 0, "bucket utterance length to shards*hop multiples"
+    F = L // hop
+    seg = F // S
+    H = halo_frames
+    M = filter_halo + 4
+    assert H >= M + 2, "halo must cover the filter margin"
+    fft_bin = cfg.audio.fft_bin
+
+    # time_batch=True: GRN statistics sum over the chunk rows (the
+    # un-vmapped equivalent of the vmap path's psum), halo-cropped so
+    # overlap frames aren't double-counted
+    encoder = Encoder(cfg.encoder, time_halo=H, time_batch=True)
+    decoder = Decoder(cfg.decoder, cfg.audio, time_halo=M, time_batch=True)
+
+    pad = H * hop
+    if pad < L:
+        wave_p = jnp.pad(wave, (pad, pad), mode="reflect")
+    else:
+        wave_p = jnp.concatenate([
+            jnp.broadcast_to(wave[:1], (pad,)),
+            wave,
+            jnp.broadcast_to(wave[-1:], (pad,)),
+        ])
+    win = (seg + 2 * H) * hop
+    windows = jnp.stack([
+        jax.lax.dynamic_slice(wave_p, (i * seg * hop,), (win,))
+        for i in range(S)
+    ])  # [S, win]
+
+    spec = spectrogram(windows, cfg.audio.n_fft, hop)  # [S, seg+2H, 961]
+    energy = estimate_energy(windows, cfg.audio.energy_frame_size)
+    content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
+    matched = match_features(
+        content,
+        jnp.broadcast_to(target[None], (S,) + target.shape),
+        k=cfg.retrieval.k,
+        alpha=cfg.retrieval.alpha,
+        metric=cfg.retrieval.metric,
+    )
+    f0 = shift_frequency(f0, pitch_shift)  # [S, seg+2H]
+
+    # ---- global phase prefix: stitch core f0 by a plain reshape ----
+    c_prev, c_cur, c_next = _frame_sum_constants(hop)
+    f0_glob = f0[:, H: H + seg].reshape(S * seg)  # [F]
+    f0_pad = jnp.concatenate([f0_glob[:1], f0_glob, f0_glob[-1:]])
+    frame_sums = (
+        c_prev * f0_pad[:-2] + c_cur * f0_pad[1:-1] + c_next * f0_pad[2:]
+    ) / cfg.audio.sample_rate
+    frame_sums = jnp.mod(frame_sums, 1.0)
+    prefix = wrapped_exclusive_prefix(frame_sums[None])[0]  # [F]
+
+    # ---- source window [H-M, H+seg+M) ----
+    sw0 = H - M
+    swf = seg + 2 * M
+    content_w = matched[:, sw0: sw0 + swf]
+    f0_w = f0[:, sw0: sw0 + swf]
+    energy_w = energy[:, sw0 * hop: (sw0 + swf) * hop]
+    amps, kernel = decoder.apply(
+        dec_params, content_w, f0_w, energy_w,
+        method=lambda m, c, f_, e: m.source_net(c, f_, e),
+    )
+
+    # per-row oscillator phase seeds (same cancellation as the vmap path,
+    # vectorised over rows)
+    f0_h = f0[:, sw0 - 1: sw0 + swf + 1]  # [S, swf+2]
+    margin_f0 = f0_h[:, : M + 4]
+    f0w_m = linear_interp_last(margin_f0, (M + 4) * hop)
+    d_m = (f0w_m / cfg.audio.sample_rate).reshape(S, M + 4, hop)
+    msums = jnp.cumsum(d_m, axis=-1)[..., -1]  # [S, M+4]
+    ms_mod = msums - jnp.floor(msums)
+    local_off = wrapped_exclusive_prefix(ms_mod)[:, M + 2]  # [S]
+    starts = jnp.arange(S) * seg + 1
+    phase0 = jnp.mod(prefix[starts] - local_off, 1.0)  # [S]
+    harm = oscillate_harmonics(
+        f0_h, hop, cfg.audio.sample_rate, cfg.decoder.num_harmonics,
+        phase0=phase0,
+    )[:, hop:-hop]  # [S, swf*hop, H1]
+    amps_w = upsample_frames_to_samples(amps.astype(jnp.float32), hop)
+    harm = harm * amps_w
+
+    # noise phases from the global frame table (identical indices to the
+    # vmap path's per-shard fold_in, so the two modes agree bit-for-bit
+    # up to op ordering)
+    if noise_angle is not None:
+        angle = _angle_shards(noise_angle, S, seg, M, fft_bin)
+    else:
+        frames_g = (
+            jnp.arange(S)[:, None] * seg - M + jnp.arange(swf)[None, :]
+        ).reshape(-1)
+        angle = _per_frame_angles(key, frames_g, fft_bin).reshape(S, swf, fft_bin)
+    noise = oscillate_noise(kernel, key, hop, cfg.audio.n_fft, angle=angle)
+    source = jnp.concatenate([harm, noise[..., None]], axis=-1)
+
+    out = decoder.apply(
+        dec_params, content_w, f0_w, energy_w, source,
+        method=lambda m, c, f_, e, s: m.filter_net(c, f_, e, s),
+    )  # [S, swf*hop]
+    core = out[:, M * hop: (M + seg) * hop]
+    return core.reshape(L)

@@ -152,14 +152,24 @@ def train_encoder(
     _, state = encoder_train.init_state(cfg, jax.random.PRNGKey(seed))
 
     ckpt = CheckpointManager(ckpt_dir)
-    restored = ckpt.restore(state)
-    if restored is not None:
-        state = restored
-        print(f"resumed encoder training at step {int(state.step)}")
-
     mesh = _mesh_or_none(cfg.train.batch_size)
-    if mesh is not None:
+    # multi-controller: replicate FIRST, then restore collectively into the
+    # global arrays — restoring into per-process local targets would ask
+    # orbax to deshard across controllers (tests/multihost_ckpt_worker.py
+    # exercises this order for real)
+    if mesh is not None and jax.process_count() > 1:
         state = replicate(state, mesh)
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed encoder training at step {int(state.step)}")
+    else:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed encoder training at step {int(state.step)}")
+        if mesh is not None:
+            state = replicate(state, mesh)
 
     noise_gen = NoiseGenerator(noises_dir) if noises_dir else None
     teacher = make_teacher(dataset_dir, teacher_model)
@@ -390,8 +400,14 @@ def train_decoder(
     else:
         epochs_iter, _num_items = _make_loader(cfg, dataset_dir, seed)
 
-    # frozen encoder
+    mesh = _mesh_or_none(cfg.train.batch_size)
+    multihost = mesh is not None and jax.process_count() > 1
+
+    # frozen encoder (multi-controller: restore into replicated global
+    # arrays — see train_encoder's restore-order comment)
     _, enc_state = enc_init(cfg, jax.random.PRNGKey(seed))
+    if multihost:
+        enc_state = replicate(enc_state, mesh)
     enc_ckpt = CheckpointManager(encoder_ckpt)
     enc_restored = enc_ckpt.restore(enc_state)
     if enc_restored is not None:
@@ -403,6 +419,8 @@ def train_decoder(
     enc_ckpt.close()
 
     state = decoder_train.init_state(cfg, jax.random.PRNGKey(seed + 1))
+    if multihost:
+        state = replicate(state, mesh)
     ckpt = CheckpointManager(ckpt_dir)
     restored = ckpt.restore(state)
     if restored is not None:
@@ -410,8 +428,7 @@ def train_decoder(
         print(f"resumed decoder training at step {int(state.step)} "
               "(optimizer state and join gate preserved)")
 
-    mesh = _mesh_or_none(cfg.train.batch_size)
-    if mesh is not None:
+    if mesh is not None and not multihost:
         state = replicate(state, mesh)
         enc_params = replicate(enc_params, mesh)
 
