@@ -44,7 +44,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--blocks", type=int, default=200)
-    p.add_argument("--out", default=os.path.join(ROOT, "BENCH_STREAM_r04.json"))
+    p.add_argument("--out", default=os.path.join(ROOT, "BENCH_STREAM_r05.json"))
     args = p.parse_args()
 
     from tinyvc_tpu.config import serving_config
@@ -108,13 +108,42 @@ def main():
         }
         print(json.dumps({"variant": variant, **detail[variant]}), flush=True)
 
+        # pipelined sustained throughput (VERDICT r4 weak #6): D blocks of
+        # added latency hide the relay round trip — measure total wall time
+        # for the whole stream at depth D, report sustained ms/block
+        for depth in (1, 2, 4):
+            conv.reset()
+            # warm the pipeline outside the timed region
+            for b in blocks[:depth + 2]:
+                got = conv.process_block_pipelined(b, depth=depth)
+            n_timed = 0
+            t0 = time.perf_counter()
+            for b in blocks[depth + 2:]:
+                got = conv.process_block_pipelined(b, depth=depth)
+                if got is not None:
+                    n_timed += 1
+            for got in conv.drain():
+                n_timed += 1
+            dt_ms = (time.perf_counter() - t0) * 1000.0 / max(n_timed, 1)
+            detail[variant][f"sustained_ms_pipelined_d{depth}"] = round(dt_ms, 3)
+            print(json.dumps({"variant": variant, "depth": depth,
+                              "sustained_ms_per_block": round(dt_ms, 3)}),
+                  flush=True)
+
     # carry the latest device-trace fields forward so gen_perf_table keeps
     # rendering the breakdown alongside the new host-truth rows
     prev = {}
+
+    def _round_id(path):  # numeric round id, never mtime (clones scramble it)
+        import re
+
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     prior = sorted(
         (q for q in glob.glob(os.path.join(ROOT, "BENCH_STREAM*.json"))
          if os.path.abspath(q) != os.path.abspath(args.out)),
-        key=os.path.getmtime,
+        key=_round_id,
     )
     if prior:
         with open(prior[-1]) as f:
@@ -131,6 +160,17 @@ def main():
     out["host_detail"] = detail
     out["host_rt_headroom"] = {
         k: round(budget_ms / v, 1) for k, v in host_rows.items()
+    }
+    out["host_sustained_pipelined"] = {
+        k: {
+            d.split("sustained_ms_pipelined_")[1]: dict(
+                ms_per_block=v,
+                rt_headroom=round(budget_ms / v, 1),
+            )
+            for d, v in detail[k].items()
+            if d.startswith("sustained_ms_pipelined_")
+        }
+        for k in detail
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
