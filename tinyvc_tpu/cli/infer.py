@@ -67,7 +67,7 @@ def main(argv=None):
     os.makedirs(args.outputs, exist_ok=True)
     paths = []
     for fmt in ("wav", "ogg", "mp3"):
-        paths += glob.glob(os.path.join(args.inputs, f"*.{fmt}"))
+        paths += sorted(glob.glob(os.path.join(args.inputs, f"*.{fmt}")))
 
     for path in paths:
         print(f"Converting {path} ...")
