@@ -5,12 +5,18 @@ never uses them (`infer.py:27-29,40-41` — vestigial; whole-utterance only).
 Here chunking is REAL: ``-c/--chunk-frames N`` converts each utterance in
 exact overlap-save chunks batched on one device (GRN statistics, harmonic
 phase, and noise indexing stitched across chunk joins — mel-level identical
-to the whole-utterance mode). Measured verdict (BENCH_DETAIL
-``config4_chunked_rtf``): on TPU it is SLOWER than whole-utterance
-(1730 vs 5964 audio-s/s at B=1 x 60 s) because the chunk-vmapped region
-cannot host the fused serving kernels; use it when you need bounded jit
-bucket sizes for arbitrarily long inputs (one compile serves every S), not
-for speed. Default 0 = whole-utterance, the reference's actual behaviour.
+to the whole-utterance mode). Round 5 made the chunk rows a NATIVE batch
+(`parallel/time_shard.py::_time_batched_native`) so the fused serving
+kernels engage: measured 3089 audio-s/s vs the round-4 vmap lowering's
+1730 (BENCH_DETAIL ``config4_chunked_rtf``, B=1 x 60 s, 6 chunks). Still
+below whole-utterance (5964): exact overlap-save pays ~1.38x halo
+recompute by construction, and the fused oscillator/noise kernels cannot
+serve chunked mode (they integrate phase from zero / hash their own noise
+phases — chunk-join exactness requires the phase-seeded XLA oscillator
+and the per-global-frame noise table). Use ``-c`` for bounded jit bucket
+sizes on arbitrarily long inputs (one compile serves every chunk count);
+whole-utterance remains the speed path. Default 0 = whole-utterance, the
+reference's actual behaviour.
 """
 
 import argparse
@@ -31,7 +37,8 @@ def main(argv=None):
         "-c", "--chunk-frames", default=0, type=int,
         help="0 = whole-utterance (fastest); N>0 = exact overlap-save "
         "chunked conversion in N-frame chunks (bounds jit bucket sizes; "
-        "measured ~3.4x slower than whole-utterance on TPU, see module doc)",
+        "measured ~1.9x slower than whole-utterance on TPU — halo "
+        "recompute + phase-seeded oscillator, see module doc)",
     )
     args = p.parse_args(argv)
 

@@ -316,17 +316,20 @@ class VoiceConverter:
         The reference parses ``--chunk-size``/``--no-chunking`` but never
         implements chunking (`infer.py:27-29,40-41` — vestigial). This is
         the real thing: overlap-save chunks of ``chunk_frames`` frames run
-        as a batch on one device (`parallel/time_shard.py::
-        time_batched_convert`), with GRN statistics, harmonic phase, and
-        noise indexing stitched exactly — output matches the whole-utterance
-        mode at the mel level. Use it to bound jit bucket sizes for
-        arbitrarily long inputs (one compile serves every chunk count S).
-        Measured verdicts (round 4, on chip): it is NOT faster than
-        whole-utterance (1730 vs 5964 audio-s/s at B=1 x 60 s — the
-        chunk-vmapped region cannot host the manual-DMA fused kernels, and
-        their loss outweighs the dispatch amortisation), and it is NOT a
-        memory bound (all S chunk lanes run concurrently as batched ops, so
-        activations scale with the whole utterance plus halo recompute).
+        as a NATIVE batch on one device (`parallel/time_shard.py::
+        time_batched_convert(native=True)`), with GRN statistics, harmonic
+        phase, and noise indexing stitched exactly — output matches the
+        whole-utterance mode at the mel level. Use it to bound jit bucket
+        sizes for arbitrarily long inputs (one compile serves every chunk
+        count S). Measured (round 5, on chip, B=1 x 60 s): 3089 audio-s/s
+        — 1.8x the round-4 vmap lowering (1730; it had to force the fused
+        serving kernels off), still ~1.9x below whole-utterance (5964):
+        exact overlap-save pays ~1.38x halo recompute by construction and
+        must keep the phase-seeded XLA oscillator + per-global-frame noise
+        table (the fused oscillator/noise kernels integrate phase from
+        zero / hash their own phases, which would break chunk-join
+        exactness). Not a memory bound: all S chunk lanes run concurrently
+        as batched ops.
         """
         from ..parallel.time_shard import time_batched_convert
 

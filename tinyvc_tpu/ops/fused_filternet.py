@@ -83,6 +83,7 @@ def filternet_fused_apply(
     dtype_name: str | None = None,
     source_prepacked: bool = False,
     n_prepacked_src: int = 16,
+    kernel_min_len: int = 0,
 ) -> jnp.ndarray:
     """fn_params: the ``filter_net`` subtree of the decoder's flax params.
     content [B,F,768], f0 [B,F], energy [B,L], source [B,L,H+2]
@@ -97,7 +98,18 @@ def filternet_fused_apply(
     ``dtype_name`` overrides the MXU input dtype (training passes
     'bfloat16' even under the fp32 profile — XLA's own fp32 matmuls demote
     operands to bf16 under ``--xla_allow_excess_precision``, so this
-    matches the baseline's effective precision at kernel speed)."""
+    matches the baseline's effective precision at kernel speed).
+
+    ``kernel_min_len``: stages whose time axis is shorter than this run the
+    channels-first flax math instead of the Pallas chain kernels. The
+    frame-rate stages are a rounding error of the runtime, and at SMALL
+    batch x short-T shapes (batch-native chunked conversion, B ~ 6 chunk
+    rows) XLA "helpfully" VMEM-places the chain kernel's whole ANY-space
+    operands — 13.6 MB at the C=384 stage — and then blows the 16 MB
+    scoped-vmem budget on the output (measured: remote-compile OOM at
+    [6, 192, 1280]; serving's B=16 operands exceed VMEM and stay in HBM,
+    which is why the whole-utterance path never hit it). 8192 keeps every
+    waveform-rate stage (where the kernels' ~2x lives) on the kernels."""
     channels = list(cfg.filter_channels)
     factors = list(cfg.filter_factors)
     dt = jnp.dtype(cfg.compute_dtype)
@@ -211,10 +223,21 @@ def filternet_fused_apply(
             else:
                 z_t = downsample_time_int_t(src_t[:, :, : cur_len * f], f,
                                             trim=False)
-            src_t = fused_downsample_chain_t(
-                z_t, *w, dtype_name=dname, t_blk=blk, interpret=interpret,
-                out_len=cur_len,
-            )
+            if cur_len < kernel_min_len:
+                from ..models.decoder import Downsample as _Down
+
+                src_t = _Down(
+                    n, 1, dtype=dt, conv_impl=cfg.conv_impl,
+                    channels_first=True,
+                ).apply(
+                    {"params": fn_params[f"down_{i + 1}"]},
+                    z_t[:, :, :cur_len],
+                ).astype(dt)
+            else:
+                src_t = fused_downsample_chain_t(
+                    z_t, *w, dtype_name=dname, t_blk=blk, interpret=interpret,
+                    out_len=cur_len,
+                )
         skips_t.append(src_t)
 
     # up path; the last stage folds the model's k=7 fp32 output conv into
@@ -245,6 +268,23 @@ def filternet_fused_apply(
         w = upsample_params_to_tuple(fn_params[f"up_{i}"])
         blk = _t_blk_for(c_in, cond_t.shape[2], dname)
         last = i == n_up - 1
+        if not differentiable and cond_t.shape[2] < kernel_min_len:
+            from ..models.decoder import Upsample as _Up
+            from ..models.layers import Conv1d
+
+            x_t = _Up(
+                n, 1, dtype=dt, conv_impl=cfg.conv_impl, channels_first=True
+            ).apply(
+                {"params": fn_params[f"up_{i}"]},
+                xu_t[:, :, : cond_t.shape[2]], cond_t,
+            ).astype(dt)
+            if last:
+                ok = fn_params["output_layer"]["kernel"]  # [k, Co, 1]
+                x_t = Conv1d(1, ok.shape[0], channels_first=True).apply(
+                    {"params": fn_params["output_layer"]},
+                    x_t.astype(jnp.float32),
+                )
+            continue
         if last:
             wconv, bconv, wfilm, bfilm, w5, b5 = w
             ok = fn_params["output_layer"]["kernel"]  # [k, Co, 1]

@@ -395,16 +395,18 @@ def _time_batched_native(
         for i in range(S)
     ])  # [S, win]
 
-    spec = spectrogram(windows, cfg.audio.n_fft, hop)  # [S, seg+2H, 961]
+    # the chunk rows are an ordinary batch, so the SERVING kernel routes
+    # engage exactly as in the whole-utterance pipeline (this is the point
+    # of the native lowering — the vmap path had to force XLA): fused
+    # bf16x3 DFT-matmul spectrogram (S*(seg+2H) frames clears the >=2048
+    # engagement bound at production chunk sizes) and the VMEM-resident
+    # kNN kernel
+    from ..infer.generator import serving_match_features, serving_spectrogram
+
+    spec = serving_spectrogram(windows, cfg)  # [S, seg+2H, 961]
     energy = estimate_energy(windows, cfg.audio.energy_frame_size)
     content, f0 = encoder.apply(enc_params, spec, method=encoder.infer)
-    matched = match_features(
-        content,
-        jnp.broadcast_to(target[None], (S,) + target.shape),
-        k=cfg.retrieval.k,
-        alpha=cfg.retrieval.alpha,
-        metric=cfg.retrieval.metric,
-    )
+    matched = serving_match_features(content, target, cfg)
     f0 = shift_frequency(f0, pitch_shift)  # [S, seg+2H]
 
     # ---- global phase prefix: stitch core f0 by a plain reshape ----
@@ -459,9 +461,28 @@ def _time_batched_native(
     noise = oscillate_noise(kernel, key, hop, cfg.audio.n_fft, angle=angle)
     source = jnp.concatenate([harm, noise[..., None]], axis=-1)
 
-    out = decoder.apply(
-        dec_params, content_w, f0_w, energy_w, source,
-        method=lambda m, c, f_, e, s: m.filter_net(c, f_, e, s),
-    )  # [S, swf*hop]
+    # waveform-rate U-Net: the fused VMEM-resident serving kernels when the
+    # profile enables them (`decode_infer`'s route), flax otherwise
+    from ..infer.generator import _on_cpu_backend
+
+    flag = cfg.decoder.use_fused_filter
+    if flag == "on" or (flag == "auto" and not _on_cpu_backend()):
+        from ..ops.fused_filternet import filternet_fused_apply
+
+        out = filternet_fused_apply(
+            dec_params["params"]["filter_net"], cfg.decoder,
+            content_w, f0_w, energy_w, source,
+            interpret=_on_cpu_backend(),
+            # small-batch chunk rows VMEM-place the frame-rate stages'
+            # whole operands and blow the scoped budget (see the param's
+            # docstring); keep the kernels on the waveform-rate stages
+            # where their ~2x lives
+            kernel_min_len=8192,
+        )
+    else:
+        out = decoder.apply(
+            dec_params, content_w, f0_w, energy_w, source,
+            method=lambda m, c, f_, e, s: m.filter_net(c, f_, e, s),
+        )  # [S, swf*hop]
     core = out[:, M * hop: (M + seg) * hop]
     return core.reshape(L)
