@@ -318,6 +318,39 @@ def main():
         "achieved = roofline_ms / measured_ms (bench artifacts)",
         "serving_config3_B16x10s": serving_stages(measured["serving"]),
         "train_postjoin_B16x2s": train_stages(measured["train"]),
+        "interpretation": {
+            "achieved_above_1": "rows with achieved > 1 expose a "
+            "conservative peak assumption, not magic: the axon terminal "
+            "compiles with --xla_allow_excess_precision, which demotes "
+            "fp32 matmul operands to bf16 — 'fp32' stages (encoder, "
+            "unet_fwd) actually run near the bf16 peak, so their honest "
+            "roofline is ~4x tighter than the fp32 row shows",
+            "filter_net_unet": "the naive MXU roofline (2.07 ms) assumes "
+            "every FLOP fills the 128x128 systolic array; the U-Net's "
+            "waveform-rate stages run K=3*Cin, N=Cout matmuls at channels "
+            "17-96, capping tile utilisation — the tile-adjusted bound "
+            "(8.27 ms, see mxu_tile_adjusted) is the architecture's real "
+            "floor and the measured 12.25 ms is 68% of it; the remainder "
+            "is inter-stage resampling + DMA orchestration. Only wider "
+            "channels or cross-layer channel-packing change the bound.",
+            "dsp_oscillators": "VPU transcendental + per-op dispatch "
+            "bound, not HBM: 15 sin evaluations/sample plus the noise "
+            "iDFT; the fused kernels already cut this 11x vs XLA — the "
+            "0.34 ms HBM floor would require fusing sin generation into "
+            "the consuming U-Net stem's DMA stream",
+            "knn_2048": "fp32 by design (bf16 similarities flip "
+            "neighbours on near-ties — test_mixed_precision); the 0.53 ms "
+            "row at the conservative fp32 peak is the right bound and the "
+            "fused VMEM kernel sits at 34% of it (top-k selection is "
+            "sequential iterated-argmax, not MACs)",
+            "energy": "0.24 ms for a max-pool whose HBM floor is 0.04 — "
+            "fixed per-op dispatch cost at this size; irrelevant slice of "
+            "the 21 ms pipeline",
+            "discriminators": "64% of the fp32 roofline across fwd+bwd "
+            "(six-way-earned engineering floor, r2-r4); the MRD's 24 "
+            "small convs pay fixed per-op cost that no measured lowering "
+            "beat (BENCH_TRAIN_r04 xres note)",
+        },
     }
     text = json.dumps(out, indent=1)
     if args.output:
