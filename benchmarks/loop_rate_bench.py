@@ -74,8 +74,19 @@ def run_dispatches(step, K, B, n, dispatches, fetch_metrics=True):
         metrics = step(jnp.asarray(idx), keys[1:])
         return keys[0], metrics
 
-    key, metrics = one(key)  # compile + warm
-    _ = float(jax.tree.leaves(metrics)[0])
+    # Warm until steady: through the axon relay the first 1-2 EXECUTIONS
+    # (after the compile) still carry ~2 min of one-off setup — a single
+    # warm dispatch undercounted the steady rate 3x (measured: first
+    # execution 128 s, then 9.5 s flat for a 250-step window).
+    prev = None
+    for _ in range(6):
+        t0 = time.perf_counter()
+        key, metrics = one(key)
+        _ = float(jax.tree.leaves(metrics)[0])
+        dt = time.perf_counter() - t0
+        if prev is not None and abs(dt - prev) < 0.15 * max(dt, prev):
+            break
+        prev = dt
     t0 = time.perf_counter()
     for _ in range(dispatches):
         key, metrics = one(key)
