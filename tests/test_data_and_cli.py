@@ -225,3 +225,28 @@ def test_webui_importable_and_gated():
 
         with pytest.raises(SystemExit):
             mod.main([])
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """save_params_npz/.npz loading: bitwise round trip of a param tree
+    through the params-only serving export (cli/export_params)."""
+    import numpy as np
+
+    import jax
+
+    from tests.test_training import small_config
+    from tinyvc_tpu.train import encoder_train
+    from tinyvc_tpu.utils.model_store import (
+        _load_params_npz,
+        save_params_npz,
+    )
+
+    cfg = small_config()
+    _, state = encoder_train.init_state(cfg, jax.random.PRNGKey(3))
+    path = str(tmp_path / "enc.npz")
+    save_params_npz(path, jax.device_get(state.params))
+    back = _load_params_npz(path)
+    la, lb = jax.tree.leaves(state.params), jax.tree.leaves(back)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

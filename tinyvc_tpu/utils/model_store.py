@@ -1,9 +1,11 @@
 """Loading model parameters from checkpoints.
 
-Accepts either our orbax checkpoint directories (full train states) or the
-reference's raw ``.pt`` state_dicts (`models/encoder.pt` / `models/decoder.pt`
-— imported via `tinyvc_tpu.utils.torch_compat` so reference users' existing
-checkpoints work unchanged).
+Accepts our orbax checkpoint directories (full train states), params-only
+``.npz`` serving exports (`save_params_npz` / `cli/export_params` — ship a
+trained voice without the optimizer state: ~25 MB instead of ~190), or the
+reference's raw ``.pt`` state_dicts (`models/encoder.pt` /
+`models/decoder.pt` — imported via `tinyvc_tpu.utils.torch_compat` so
+reference users' existing checkpoints work unchanged).
 """
 
 from __future__ import annotations
@@ -16,7 +18,41 @@ import jax
 from ..config import TinyVCConfig
 
 
+def save_params_npz(path: str, params: Dict[str, Any]) -> None:
+    """Write a (nested-dict) param tree as a compressed ``.npz`` with
+    '/'-joined key paths — the params-only serving export format."""
+    import numpy as np
+
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(prefix + (str(k),), v)
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    rec((), params)
+    np.savez_compressed(path, **flat)
+
+
+def _load_params_npz(path: str) -> Dict[str, Any]:
+    import numpy as np
+
+    data = np.load(path)
+    tree: Dict[str, Any] = {}
+    for key in data.files:
+        parts = key.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = data[key]
+    return tree
+
+
 def load_encoder_params(path: str, cfg: TinyVCConfig) -> Dict[str, Any]:
+    if path.endswith(".npz"):
+        return _load_params_npz(path)
     if path.endswith(".pt"):
         from .torch_compat import encoder_params_from_torch, load_torch_checkpoint
 
@@ -35,6 +71,8 @@ def load_encoder_params(path: str, cfg: TinyVCConfig) -> Dict[str, Any]:
 
 
 def load_decoder_params(path: str, cfg: TinyVCConfig) -> Dict[str, Any]:
+    if path.endswith(".npz"):
+        return _load_params_npz(path)
     if path.endswith(".pt"):
         from .torch_compat import decoder_params_from_torch, load_torch_checkpoint
 
